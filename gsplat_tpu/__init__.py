@@ -1,0 +1,31 @@
+"""gsplat_tpu — a TPU-native 3D Gaussian Splatting framework.
+
+A ground-up JAX/XLA/Pallas reimplementation of the capability surface of
+ashu1069/3D-Gaussian-Splatting-for-Novel-View-Synthesis (pure-PyTorch
+reference): differentiable EWA splatting renderer, SH view-dependent color,
+L1+SSIM training with adaptive density control, checkpoint/resume, orbit
+rendering/benchmarking, and dataset tooling — redesigned around static
+shapes, fused kernels, and `jax.sharding` meshes instead of python tile
+loops and dynamic boolean-mask culling.
+
+Public API parity with the reference package
+(/root/reference/gaussian_splatting/__init__.py:7-21) plus the TPU-first
+additions (RenderConfig, fused render_from_params, sharded training step).
+"""
+
+from .config import RenderConfig, TrainConfig  # noqa: F401
+from .ops import (  # noqa: F401
+    HARMONICS,
+    build_sigma_from_params,
+    compute_loss,
+    evaluate_sh,
+    inv2x2,
+    l1_loss,
+    project_points,
+    quat_to_rotmat,
+    scale_intrinsics,
+    ssim_loss,
+)
+from .render import render, render_from_params  # noqa: F401
+
+__version__ = "0.1.0"

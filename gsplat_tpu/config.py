@@ -1,0 +1,97 @@
+"""Static configuration objects for the TPU gaussian-splatting pipeline.
+
+Everything in :class:`RenderConfig` is a *static* (hashable) jit argument:
+image geometry, tile geometry, cull thresholds, and the fixed capacities that
+replace the reference's dynamic-shape boolean-mask culling
+(/root/reference/gaussian_splatting/render.py:104-303). XLA requires static
+shapes; capacity overflow is surfaced via counters in the render aux output
+rather than silent truncation.
+
+Default threshold values mirror the reference defaults (render.py:62-64).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration (hashable; safe as a jit static arg)."""
+
+    height: int
+    width: int
+    tile: int = 16
+    near: float = 0.01
+    far: float = 100.0
+    pix_guard: float = 32.0
+    min_conic: float = 1e-6
+    chi2_clip: float = 6.25
+    alpha_max: float = 0.99
+    alpha_cutoff: float = 1.0 / 128.0
+    transmittance_min: float = 5e-5
+    # Fixed capacities (XLA static shapes). `max_pairs_per_gaussian` bounds the
+    # per-Gaussian tile footprint used by the capacity-bounded pair expansion;
+    # `max_pairs` bounds the global (gaussian, tile) pair list;
+    # `max_per_tile` bounds gaussians composited per tile (front-most kept —
+    # correct truncation since pairs are depth sorted).
+    max_pairs: int = 2**18
+    max_per_tile: int = 1024
+    tile_chunk: int = 16  # tiles rasterized per scan step (memory knob)
+
+    @property
+    def tiles_x(self) -> int:
+        return cdiv(self.width, self.tile)
+
+    @property
+    def tiles_y(self) -> int:
+        return cdiv(self.height, self.tile)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def padded_width(self) -> int:
+        return self.tiles_x * self.tile
+
+    @property
+    def padded_height(self) -> int:
+        return self.tiles_y * self.tile
+
+    def with_(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training hyperparameters (reference scripts/train.py:222-250)."""
+
+    iterations: int = 30000
+    batch_size: int = 1
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    adam_eps: float = 1e-15
+    lambda_l1: float = 0.8
+    lambda_ssim: float = 0.2
+    grad_clip_pos: float = 1.0
+    # Adaptive density control schedule.
+    densify_until_iter: int = 15000
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    prune_opacity_threshold: float = 0.01
+    max_grad: float = 0.01
+    scale_threshold: float = 0.01
+    checkpoint_interval: int = 1000
+    # Fixed-capacity Gaussian pool (on-device ADC; see models/adc.py).
+    capacity: int = 2**17

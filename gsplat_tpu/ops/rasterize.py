@@ -1,0 +1,232 @@
+"""Tile rasterization: depth-sorted alpha compositing of projected Gaussians.
+
+Replaces the reference's python loop over occupied tiles
+(/root/reference/gaussian_splatting/render.py:325-410) with a fully-traced
+static-shape sweep:
+
+* per-pair features (uv, conic, opacity, color) are gathered ONCE into a flat
+  tile-major depth-ordered array, so each tile's gaussians are a contiguous
+  slice — gathers become dynamic slices;
+* tiles are processed `tile_chunk` at a time inside a `lax.map`, bounding peak
+  memory; each chunk is rematerialized (`jax.checkpoint`) in the backward pass
+  so autodiff does not keep every [chunk, K, T*T] intermediate alive (the
+  reference's OOM mode, SURVEY §3.2);
+* compositing math matches the reference exactly: q = A du^2 + 2B du dv +
+  C dv^2, g = exp(-q/2) masked at chi2_clip, alpha = min(op*g, alpha_max)
+  zeroed below alpha_cutoff, T_i = shifted cumprod(1 - alpha), survivors
+  masked at T > transmittance_min, color = sum alpha*T*c, final clip to [0,1].
+
+A dense (every-gaussian-every-pixel) oracle `rasterize_dense` is kept for
+tests; tiling only ever *excludes* contributions the chi2 cutoff already
+zeroes, so the two agree to float tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import RenderConfig
+from .binning import TileBinning, bin_gaussians, depth_order_and_rank
+from .projection import ProjectedGaussians
+
+
+class RenderAux(NamedTuple):
+    """Diagnostics emitted alongside the image (never silently truncate)."""
+
+    num_pairs: jnp.ndarray  # [] int32 true (gaussian, tile) pair count
+    pair_capacity: int
+    max_tile_count: jnp.ndarray  # [] int32 largest per-tile gaussian count
+    per_tile_capacity: int
+
+
+def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
+    """Composite one chunk of tiles.
+
+    Args:
+        feats: [C, K, 9] per-(tile, slot) features:
+            (u, v, conic_a, conic_b, conic_c, opacity, r, g, b).
+        mask: [C, K] slot validity.
+        Returns: [C, T*T, 3] tile colors.
+    """
+    T = cfg.tile
+    P = T * T
+    u = feats[..., 0:1]  # [C, K, 1]
+    v = feats[..., 1:2]
+    ca = feats[..., 2:3]
+    cb = feats[..., 3:4]
+    cc = feats[..., 4:5]
+    op = feats[..., 5:6]
+    rgb = feats[..., 6:9]  # [C, K, 3]
+
+    # Pixel centers of each tile in the chunk: stored per-chunk in feats'
+    # companion origin array is folded into u/v by the caller (u,v already
+    # relative to the tile origin). Pixel order matches the reference
+    # meshgrid(indexing='xy') flatten: index = py * T + px.
+    px = jnp.arange(P, dtype=feats.dtype) % T  # [P]
+    py = jnp.arange(P, dtype=feats.dtype) // T
+
+    du = px[None, None, :] - u  # [C, K, P]
+    dv = py[None, None, :] - v
+    q = ca * du * du + 2.0 * cb * du * dv + cc * dv * dv
+    inside = q <= cfg.chi2_clip
+    g = jnp.exp(-0.5 * jnp.minimum(q, cfg.chi2_clip))
+    g = jnp.where(inside, g, 0.0)
+
+    alpha = jnp.minimum(op * g, cfg.alpha_max)
+    alpha = jnp.where(alpha >= cfg.alpha_cutoff, alpha, 0.0)
+    alpha = jnp.where(mask[..., None], alpha, 0.0)
+
+    # Front-to-back transmittance: T_i = prod_{j<i} (1 - alpha_j).
+    one_minus = 1.0 - alpha
+    trans = jnp.cumprod(one_minus, axis=1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1
+    )
+    alive = (trans > cfg.transmittance_min).astype(alpha.dtype)
+    w = alpha * trans * alive  # [C, K, P]
+
+    # [C, P, K] @ [C, K, 3] -> [C, P, 3]. HIGHEST precision: the weight sum
+    # is the image itself; bf16-truncated weights shift colors ~1e-3. The
+    # contraction is tiny next to the [C,K,P] elementwise work above.
+    return jnp.einsum("ckp,ckd->cpd", w, rgb, precision="highest")
+
+
+def rasterize_binned(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    binning: TileBinning,
+    cfg: RenderConfig,
+):
+    """Rasterize using a precomputed pair list. Returns (image, aux)."""
+    dtype = colors.dtype
+    T = cfg.tile
+    K = cfg.max_per_tile
+    C = cfg.tile_chunk
+    num_tiles = cfg.num_tiles
+    num_chunks = -(-num_tiles // C)
+
+    # Flat per-pair features, tile-major depth-ordered. One global gather.
+    cap = cfg.max_pairs
+    g_idx = binning.pair_gauss
+    feat = jnp.concatenate(
+        [
+            proj.uv,
+            proj.conic,
+            proj.opacity[:, None],
+            colors,
+        ],
+        axis=-1,
+    ).astype(dtype)  # [N, 9]
+    # Zero invalid rows: masked (not filtered) slots may hold NaN/inf from
+    # culled gaussians, and 0-weight * NaN would still poison the composite.
+    feat = jnp.where(proj.valid[:, None], feat, 0.0)
+    pair_feat = feat[g_idx]  # [cap, 9]
+
+    # Tile origins for every tile (static).
+    tids = jnp.arange(num_chunks * C, dtype=jnp.int32)
+    ox = (tids % cfg.tiles_x * T).astype(dtype)
+    oy = (tids // cfg.tiles_x * T).astype(dtype)
+    starts_all = jnp.concatenate(
+        [
+            binning.tile_start,
+            jnp.zeros((num_chunks * C - num_tiles,), jnp.int32),
+        ]
+    )
+    counts_all = jnp.concatenate(
+        [
+            binning.tile_count,
+            jnp.zeros((num_chunks * C - num_tiles,), jnp.int32),
+        ]
+    )
+
+    slot = jnp.arange(K, dtype=jnp.int32)
+
+    @jax.checkpoint
+    def chunk_fn(chunk_idx):
+        t0 = chunk_idx * C
+        st = lax.dynamic_slice_in_dim(starts_all, t0, C)  # [C]
+        ct = lax.dynamic_slice_in_dim(counts_all, t0, C)
+        cox = lax.dynamic_slice_in_dim(ox, t0, C)
+        coy = lax.dynamic_slice_in_dim(oy, t0, C)
+        idx = jnp.clip(st[:, None] + slot[None, :], 0, cap - 1)  # [C, K]
+        mask = slot[None, :] < jnp.minimum(ct, K)[:, None]
+        feats = pair_feat[idx]  # [C, K, 9]
+        # Make uv tile-local so the composite kernel works in [0, T) coords.
+        local = feats.at[..., 0].add(-cox[:, None]).at[..., 1].add(-coy[:, None])
+        return _composite_chunk(local, mask, cfg)  # [C, T*T, 3]
+
+    tiles_rgb = lax.map(chunk_fn, jnp.arange(num_chunks, dtype=jnp.int32))
+    # [num_chunks, C, T*T, 3] -> [tiles_y, tiles_x, T, T, 3]
+    tiles_rgb = tiles_rgb.reshape(num_chunks * C, T, T, 3)[:num_tiles]
+    img = tiles_rgb.reshape(cfg.tiles_y, cfg.tiles_x, T, T, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        cfg.padded_height, cfg.padded_width, 3
+    )
+    img = img[: cfg.height, : cfg.width]
+    img = jnp.clip(img, 0.0, 1.0)
+
+    aux = RenderAux(
+        num_pairs=binning.num_pairs,
+        pair_capacity=cfg.max_pairs,
+        max_tile_count=jnp.max(binning.tile_count),
+        per_tile_capacity=K,
+    )
+    return img, aux
+
+
+def rasterize(proj: ProjectedGaussians, colors: jnp.ndarray, cfg: RenderConfig):
+    """Bin + rasterize one view. Returns (image [H, W, 3], RenderAux)."""
+    binning = bin_gaussians(proj, cfg)
+    return rasterize_binned(proj, colors, binning, cfg)
+
+
+def rasterize_dense(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    cfg: RenderConfig,
+    row_chunk: int = 16,
+):
+    """Oracle rasterizer: every gaussian against every pixel (tests only).
+
+    Mirrors the reference math with NO tiling; memory O(N * row_chunk * W).
+    """
+    dtype = colors.dtype
+    order, _ = depth_order_and_rank(proj.depth, proj.valid)
+    ok = proj.valid[order]
+    # Zero every field of invalid slots — culled gaussians may carry NaNs.
+    u = jnp.where(ok, proj.uv[order, 0], 0.0)
+    v = jnp.where(ok, proj.uv[order, 1], 0.0)
+    con = jnp.where(ok[:, None], proj.conic[order], 0.0)
+    op = jnp.where(ok, proj.opacity[order], 0.0)
+    rgb = jnp.where(ok[:, None], colors[order], 0.0)
+
+    H, W = cfg.height, cfg.width
+    pad_h = -(-H // row_chunk) * row_chunk
+    xs = jnp.arange(W, dtype=dtype)
+
+    def rows_fn(r0):
+        ys = r0 * row_chunk + jnp.arange(row_chunk, dtype=dtype)
+        du = xs[None, None, :] - u[:, None, None]  # [N, 1, W]
+        dv = ys[None, :, None] - v[:, None, None]  # [N, R, 1]
+        q = (
+            con[:, 0, None, None] * du * du
+            + 2.0 * con[:, 1, None, None] * du * dv
+            + con[:, 2, None, None] * dv * dv
+        )
+        inside = q <= cfg.chi2_clip
+        g = jnp.where(inside, jnp.exp(-0.5 * jnp.minimum(q, cfg.chi2_clip)), 0.0)
+        alpha = jnp.minimum(op[:, None, None] * g, cfg.alpha_max)
+        alpha = jnp.where(alpha >= cfg.alpha_cutoff, alpha, 0.0)
+        trans = jnp.cumprod(1.0 - alpha, axis=0)
+        trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]], axis=0)
+        alive = (trans > cfg.transmittance_min).astype(dtype)
+        w = alpha * trans * alive  # [N, R, W]
+        return jnp.einsum("nrw,nd->rwd", w, rgb, precision="highest")
+
+    img = lax.map(rows_fn, jnp.arange(pad_h // row_chunk, dtype=jnp.int32))
+    img = img.reshape(pad_h, W, 3)[:H]
+    return jnp.clip(img, 0.0, 1.0)

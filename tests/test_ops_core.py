@@ -1,0 +1,158 @@
+"""Unit parity tests: core math ops vs the PyTorch reference oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.ops import (
+    build_sigma_from_params,
+    check_frustum_camera_space,
+    evaluate_sh,
+    inv2x2,
+    project_points,
+    quat_to_rotmat,
+    scale_intrinsics,
+    sh_basis,
+    transform_to_camera_space,
+)
+from gsplat_tpu.ops.gaussian import build_cov3d_packed, pack_cov3d, unpack_cov3d
+
+
+def test_quat_to_rotmat_matches_reference(ref, torch, scene):
+    q = scene["q_raw"]
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    ours = np.asarray(quat_to_rotmat(jnp.asarray(qn)))
+    theirs = ref.quat_to_rotmat(torch.from_numpy(qn)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_quat_to_rotmat_is_rotation(scene):
+    q = scene["q_raw"] / np.linalg.norm(scene["q_raw"], axis=-1, keepdims=True)
+    R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_build_sigma_matches_reference(ref, torch, scene):
+    ours = np.asarray(
+        build_sigma_from_params(
+            jnp.asarray(scene["scale_raw"]), jnp.asarray(scene["q_raw"])
+        )
+    )
+    theirs = ref.build_sigma_from_params(
+        torch.from_numpy(scene["scale_raw"]), torch.from_numpy(scene["q_raw"])
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_cov3d_pack_roundtrip(scene):
+    sigma = build_sigma_from_params(
+        jnp.asarray(scene["scale_raw"]), jnp.asarray(scene["q_raw"])
+    )
+    packed = pack_cov3d(sigma)
+    # pack/unpack symmetrizes; sigma itself is symmetric only to f32 rounding.
+    np.testing.assert_allclose(
+        np.asarray(unpack_cov3d(packed)), np.asarray(sigma), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(
+            build_cov3d_packed(
+                jnp.asarray(scene["scale_raw"]), jnp.asarray(scene["q_raw"])
+            )
+        ),
+        np.asarray(packed),
+        atol=1e-7,
+    )
+
+
+def test_sh_basis_orthogonality_scale():
+    # Y0 must be the DC constant.
+    d = np.array([[0.0, 0.0, 1.0]], dtype=np.float32)
+    basis = np.asarray(sh_basis(jnp.asarray(d)))[0]
+    assert abs(basis[0] - 0.28209479) < 1e-6
+
+
+def test_evaluate_sh_matches_reference(ref, torch, scene):
+    ours = np.asarray(
+        evaluate_sh(
+            jnp.asarray(scene["f_dc"]),
+            jnp.asarray(scene["f_rest"]),
+            jnp.asarray(scene["pos"]),
+            jnp.asarray(scene["c2w"]),
+        )
+    )
+    theirs = ref.evaluate_sh(
+        torch.from_numpy(scene["f_dc"]),
+        torch.from_numpy(scene["f_rest"]),
+        torch.from_numpy(scene["pos"]),
+        torch.from_numpy(scene["c2w"]),
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+
+def test_transform_and_project_match_reference(ref, torch, scene, camera):
+    from gaussian_splatting.utils import transform_to_camera_space as ref_transform
+
+    pc = jnp.asarray(scene["pos"])
+    c2w = jnp.asarray(scene["c2w"])
+    x, y, z = transform_to_camera_space(pc, c2w)
+    tx, ty, tz = ref_transform(
+        torch.from_numpy(scene["pos"]), torch.from_numpy(scene["c2w"])
+    )
+    np.testing.assert_allclose(np.asarray(x), tx.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), tz.numpy(), atol=1e-5)
+
+    uv, px, py, pz = project_points(
+        pc, c2w, camera["fx"], camera["fy"], camera["cx"], camera["cy"]
+    )
+    tuv, _, _, _ = ref.project_points(
+        torch.from_numpy(scene["pos"]),
+        torch.from_numpy(scene["c2w"]),
+        camera["fx"],
+        camera["fy"],
+        camera["cx"],
+        camera["cy"],
+    )
+    np.testing.assert_allclose(np.asarray(uv), tuv.numpy(), atol=1e-3)
+
+
+def test_frustum_matches_reference(torch, scene, camera):
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from gaussian_splatting.utils import (
+        check_frustum_camera_space as ref_frustum,
+        transform_to_camera_space as ref_transform,
+    )
+
+    pc = jnp.asarray(scene["pos"])
+    c2w = jnp.asarray(scene["c2w"])
+    x, y, z = transform_to_camera_space(pc, c2w)
+    ours = np.asarray(
+        check_frustum_camera_space(
+            x, y, z, camera["fx"], camera["fy"], camera["cx"], camera["cy"],
+            camera["H"], camera["W"], 0.01, 100.0, 32,
+        )
+    )
+    tx, ty, tz = ref_transform(
+        torch.from_numpy(scene["pos"]), torch.from_numpy(scene["c2w"])
+    )
+    theirs = ref_frustum(
+        tx, ty, tz, camera["fx"], camera["fy"], camera["cx"], camera["cy"],
+        camera["H"], camera["W"], 0.01, 100.0, 32,
+    ).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_inv2x2_matches_reference(ref, torch, rng):
+    m = rng.normal(0, 1, (64, 2, 2)).astype(np.float32)
+    m = m @ np.swapaxes(m, 1, 2) + 0.1 * np.eye(2, dtype=np.float32)
+    ours = np.asarray(inv2x2(jnp.asarray(m)))
+    theirs = ref.inv2x2(torch.from_numpy(m)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-5)
+
+
+def test_scale_intrinsics_matches_reference(ref):
+    ours = scale_intrinsics(540, 960, 1080, 1920, 1000.0, 990.0, 960.0, 540.0)
+    theirs = ref.scale_intrinsics(540, 960, 1080, 1920, 1000.0, 990.0, 960.0, 540.0)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs))
