@@ -1,0 +1,121 @@
+"""Benchmark harness: renders a garden-scale synthetic scene at 1080p.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline: the pure-PyTorch reference reports ~0.2-1 FPS end-to-end on a CUDA
+GPU (reference README.md:5,29; BASELINE.md) — we use 1.0 FPS (its best case)
+as the comparison denominator.
+
+Extra fields (not part of the contract, useful for tracking): forward+backward
+step FPS, rays/s (pixels/s) forward, gaussian count, pair count.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def make_scene(n, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    # Garden-ish: a ground disc + scattered clutter in front of the camera.
+    r = np.sqrt(rng.uniform(0.2, 1.0, n)) * 6.0
+    th = rng.uniform(0, 2 * np.pi, n)
+    pos = np.stack(
+        [r * np.cos(th), rng.normal(0.0, 0.6, n), 4.0 + r * np.sin(th) * 0.5],
+        axis=-1,
+    )
+    return {
+        "pos": jnp.asarray(pos, jnp.float32),
+        "scale_raw": jnp.asarray(rng.normal(0, 0.3, (n, 3)) - 3.2, jnp.float32),
+        "q_raw": jnp.asarray(
+            rng.normal(0, 1, (n, 4)) + np.array([0, 0, 0, 2.0]), jnp.float32
+        ),
+        "opacity_raw": jnp.asarray(rng.normal(0.0, 1.0, n), jnp.float32),
+        "f_dc": jnp.asarray(rng.normal(0, 0.8, (n, 3)), jnp.float32),
+        "f_rest": jnp.asarray(rng.normal(0, 0.05, (n, 45)), jnp.float32),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--gaussians", type=int, default=2**17)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--backward", action="store_true", help="also bench fwd+bwd")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig, render_from_params
+
+    cfg = RenderConfig(
+        height=args.height,
+        width=args.width,
+        max_pairs=2**21,
+        max_per_tile=2048,
+        tile_chunk=32,
+    )
+    params = make_scene(args.gaussians)
+    c2w = jnp.eye(4)
+    fx = fy = jnp.float32(0.85 * args.width)
+    cx = jnp.float32(args.width / 2)
+    cy = jnp.float32(args.height / 2)
+
+    fwd = jax.jit(
+        lambda p: render_from_params(p, c2w, fx, fy, cx, cy, cfg)
+    )
+    img, aux = fwd(params)
+    img.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        img, aux = fwd(params)
+    img.block_until_ready()
+    dt_fwd = (time.perf_counter() - t0) / args.iters
+    fps = 1.0 / dt_fwd
+
+    extras = {
+        "gaussians": args.gaussians,
+        "pairs": int(aux.num_pairs),
+        "max_tile_count": int(aux.max_tile_count),
+        "rays_per_s_fwd": args.height * args.width / dt_fwd,
+        "resolution": f"{args.width}x{args.height}",
+        "device": str(jax.devices()[0]),
+        "image_mean": float(img.mean()),
+    }
+
+    if args.backward:
+        grad_fn = jax.jit(
+            jax.grad(
+                lambda p: render_from_params(p, c2w, fx, fy, cx, cy, cfg)[0].sum()
+            )
+        )
+        g = grad_fn(params)
+        jax.block_until_ready(g)
+        t0 = time.perf_counter()
+        for _ in range(max(args.iters // 2, 1)):
+            g = grad_fn(params)
+        jax.block_until_ready(g)
+        dt_step = (time.perf_counter() - t0) / max(args.iters // 2, 1)
+        extras["fwd_bwd_fps"] = 1.0 / dt_step
+        extras["rays_per_s_fwd_bwd"] = args.height * args.width / dt_step
+
+    print(
+        json.dumps(
+            {
+                "metric": "render_fps_1080p",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 1.0, 3),
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

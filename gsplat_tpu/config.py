@@ -29,6 +29,11 @@ class RenderConfig:
     near: float = 0.01
     far: float = 100.0
     pix_guard: float = 32.0
+    # Vertical guard override for band-parallel (tile-axis) rendering: a
+    # device rendering a horizontal band must not frustum-cull gaussians whose
+    # centers lie in other bands but whose splats reach into this one.
+    # None -> use pix_guard (single-device behavior).
+    pix_guard_v: float | None = None
     min_conic: float = 1e-6
     chi2_clip: float = 6.25
     alpha_max: float = 0.99

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from .camera import check_frustum_camera_space, inv2x2_packed
+from .camera import inv2x2_packed
 
 EVAL_MIN = 1e-6  # reference render.py:178 clamp bounds
 EVAL_MAX = 1e4
@@ -51,19 +51,27 @@ def clamp_eigvals_2x2(a, b, c, lo=EVAL_MIN, hi=EVAL_MAX):
 
     Returns (a', b', c', lam_max') where lam_max' is the clamped larger
     eigenvalue (used for the splat radius).
+
+    Gradient care: on the (overwhelmingly common) unclamped path the output
+    is returned as the INPUT itself, so gradients are exactly identity — the
+    recomposition formula would otherwise have a 0/0 kink at isotropic
+    matrices (r == 0).
     """
     m = 0.5 * (a + c)
     d = 0.5 * (a - c)
     r = jnp.sqrt(d * d + b * b + 1e-30)
-    l1 = jnp.clip(m - r, lo, hi)
-    l2 = jnp.clip(m + r, lo, hi)
+    l1_raw = m - r
+    l2_raw = m + r
+    l1 = jnp.clip(l1_raw, lo, hi)
+    l2 = jnp.clip(l2_raw, lo, hi)
+    unclamped = (l1_raw >= lo) & (l2_raw <= hi)
     m_new = 0.5 * (l1 + l2)
     # (l2-l1)/(2r) — when r -> 0 the matrix is isotropic and S - m*I -> 0,
     # so the factor is irrelevant; the 1e-30 guard keeps it finite.
     f = (l2 - l1) / (2.0 * r)
-    a_new = m_new + f * d
-    c_new = m_new - f * d
-    b_new = f * b
+    a_new = jnp.where(unclamped, a, m_new + f * d)
+    c_new = jnp.where(unclamped, c, m_new - f * d)
+    b_new = jnp.where(unclamped, b, f * b)
     return a_new, b_new, c_new, l2
 
 
@@ -107,14 +115,30 @@ def project_gaussians(
     # matmul inputs to bf16).
     cam = jnp.einsum("nj,jk->nk", pos - t[None, :], R, precision="highest")
     x, y, z = cam[:, 0], cam[:, 1], cam[:, 2]
-    valid &= check_frustum_camera_space(
-        x, y, z, fx, fy, cx, cy, H, W, cfg.near, cfg.far, cfg.pix_guard
+    guard_v = cfg.pix_guard if cfg.pix_guard_v is None else cfg.pix_guard_v
+    in_front = z > 0
+    depth_ok = (z > cfg.near) & (z < cfg.far)
+    fx_x = fx * x
+    u_ok = (fx_x > z * (-cfg.pix_guard - cx)) & (
+        fx_x < z * (W + cfg.pix_guard - cx)
     )
+    fy_y = fy * y
+    v_ok = (fy_y > z * (-guard_v - cy)) & (fy_y < z * (H + guard_v - cy))
+    valid &= in_front & depth_ok & u_ok & v_ok
+    valid &= jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
+
+    # Sanitize BEFORE any division/sqrt: invalid lanes get a benign dummy
+    # point (origin at depth 1). Their outputs are masked anyway, but without
+    # this, reverse-mode AD computes 0-cotangent * inf-Jacobian = NaN on
+    # culled lanes (z <= 0, NaN inputs, dead pool slots) and poisons the
+    # WHOLE gradient (the standard JAX double-where rule).
+    x = jnp.where(valid, x, 0.0)
+    y = jnp.where(valid, y, 0.0)
+    z = jnp.where(valid, z, 1.0)
 
     # --- projection (render.py:146) ---
-    z_safe = jnp.where(z > 1e-6, z, 1e-6)
-    u = fx * x / z_safe + cx
-    v = fy * y / z_safe + cy
+    u = fx * x / z + cx
+    v = fy * y / z + cy
 
     # --- EWA: Sigma_cam = Rwc Sigma Rwc^T, then J Sigma_cam J^T ---
     # (render.py:156-175). We fold both into one quadratic form: with
@@ -151,12 +175,15 @@ def project_gaussians(
     # Symmetrize the cross term (render.py:175).
     s_b = 0.5 * (quad(mu, mv) + quad(mv, mu))
 
+    # Finite filter (render.py:187-200), then sanitize invalid lanes to the
+    # identity covariance before the clamp/inverse (gradient hygiene again).
+    valid &= jnp.isfinite(s_a) & jnp.isfinite(s_b) & jnp.isfinite(s_c)
+    s_a = jnp.where(valid, s_a, 1.0)
+    s_b = jnp.where(valid, s_b, 0.0)
+    s_c = jnp.where(valid, s_c, 1.0)
+
     # Eigenvalue clamp (closed form; replaces render.py:177-179 eigh).
     s_a, s_b, s_c, lam_max = clamp_eigvals_2x2(s_a, s_b, s_c)
-
-    # Finite filter (render.py:187-200).
-    valid &= jnp.isfinite(s_a) & jnp.isfinite(s_b) & jnp.isfinite(s_c)
-    valid &= jnp.isfinite(u) & jnp.isfinite(v) & jnp.isfinite(z)
 
     # --- radius + AABB (render.py:227-247) ---
     major = jnp.clip(lam_max, 1e-12, 1e4)

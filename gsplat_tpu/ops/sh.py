@@ -136,7 +136,12 @@ def evaluate_sh(
     """
     cam_pos = c2w[:3, 3]
     view_dir = points - cam_pos[None, :]
-    view_dir = view_dir / (jnp.linalg.norm(view_dir, axis=-1, keepdims=True) + 1e-8)
+    # sqrt(max(.)) instead of linalg.norm: identical values (reference adds
+    # +1e-8 to the norm), but d|v|/dv at v=0 is NaN and dead pool slots can
+    # sit exactly at the camera position.
+    sq = jnp.sum(view_dir * view_dir, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, 1e-24))
+    view_dir = view_dir / (norm + 1e-8)
     coeffs = pack_sh_coeffs(f_dc, f_rest)  # [N, K, 3]
     basis = sh_basis(view_dir)[:, : coeffs.shape[1]]  # [N, K]
     raw = jnp.einsum("nk,nkc->nc", basis, coeffs, precision="highest")

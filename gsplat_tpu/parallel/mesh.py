@@ -1,0 +1,54 @@
+"""Device-mesh construction helpers.
+
+The reference has NO functioning distributed layer (SURVEY §2 P1-P3: the
+"multi-GPU" flag only changes a print and DataLoader workers). This module is
+the TPU-native replacement: a 2-axis `jax.sharding.Mesh`
+
+* ``data`` — views (cameras) per step, classic data parallelism; gradients
+  are psum'd across it,
+* ``tile`` — horizontal bands of image tiles within a view; each device
+  rasterizes its band (the compositing-dominated stage), bands are
+  all-gathered only for the SSIM loss.
+
+On real hardware the mesh should be laid out so `tile` (the chatty axis:
+band all-gathers every step) rides ICI within a slice and `data` can span
+DCN across hosts.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+DATA_AXIS = "data"
+TILE_AXIS = "tile"
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    data: int | None = None,
+    tile: int | None = None,
+    devices=None,
+) -> jax.sharding.Mesh:
+    """Build a ('data', 'tile') mesh over the available devices.
+
+    With no explicit split, prefers putting devices on `data` (training
+    throughput) and keeps `tile` = 1; pass tile=K for band parallelism.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if data is None and tile is None:
+        data, tile = n_devices, 1
+    elif data is None:
+        assert n_devices % tile == 0, (n_devices, tile)
+        data = n_devices // tile
+    elif tile is None:
+        assert n_devices % data == 0, (n_devices, data)
+        tile = n_devices // data
+    if data * tile != n_devices:
+        raise ValueError(f"data*tile = {data}*{tile} != {n_devices} devices")
+    dev_array = np.asarray(devices).reshape(data, tile)
+    return jax.sharding.Mesh(dev_array, (DATA_AXIS, TILE_AXIS))

@@ -1,0 +1,183 @@
+"""SPMD training/rendering over a ('data', 'tile') mesh.
+
+The reference has no working distributed path (SURVEY §2 P1-P3); this module
+is the TPU-native design:
+
+* **data axis** — the global view batch is sharded; every device renders its
+  own views; gradients are mean-reduced (`psum`) across the axis.
+* **tile axis** — within a view, each device renders one horizontal BAND of
+  image tiles. Band rendering reuses the single-device pipeline unchanged by
+  shifting the principal point (cy' = cy - band_row0) and shrinking the
+  configured height — projection, binning, and compositing then naturally
+  restrict to the band. The vertical frustum guard is widened
+  (`pix_guard_v`) so splats centered in other bands still composite into
+  this one; the resulting image is exactly the single-device image.
+* Bands are `all_gather`ed only to evaluate the SSIM loss (the 11x11 window
+  crosses band boundaries); the backward of the gather is a scatter, so each
+  device backprops only through its own band — `psum` over 'tile' then
+  completes the parameter gradient.
+
+Everything is expressed with `jax.shard_map` + explicit collectives so the
+communication schedule is visible and portable to multi-host meshes (data on
+DCN, tile on ICI).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..config import RenderConfig, TrainConfig
+from ..models.gaussians import GaussianPool
+from ..ops.losses import compute_loss
+from ..render import render_from_params
+from ..train.trainer import TrainState, _clip_pos_grad, make_optimizer
+from .mesh import DATA_AXIS, TILE_AXIS
+
+
+def band_config(cfg: RenderConfig, n_bands: int) -> tuple[RenderConfig, int]:
+    """Render config for one horizontal band out of `n_bands`.
+
+    Returns (band_cfg, band_pixel_rows). Bands are tile-row aligned; the last
+    band may cover padding rows (cropped after the gather).
+    """
+    rows = -(-cfg.tiles_y // n_bands)  # tile rows per band
+    band_px = rows * cfg.tile
+    band_cfg = cfg.with_(
+        height=band_px,
+        pix_guard_v=cfg.pix_guard + cfg.padded_height,
+        # Each band sees ~1/n_bands of the pairs; keep capacity headroom x2.
+        max_pairs=max(1024, (2 * cfg.max_pairs) // n_bands),
+    )
+    return band_cfg, band_px
+
+
+def render_band(params, c2w, fx, fy, cx, cy, cfg: RenderConfig,
+                band_cfg: RenderConfig, band_px: int, alive=None):
+    """Render this device's band of the image (call inside shard_map)."""
+    b = jax.lax.axis_index(TILE_AXIS)
+    cy_local = cy - (b * band_px).astype(jnp.float32)
+    img, aux = render_from_params(
+        params, c2w, fx, fy, cx, cy_local, band_cfg, alive=alive
+    )
+    return img, aux
+
+
+def gather_bands(band_img: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """all_gather bands along 'tile' -> full [H, W, 3] image (cropped)."""
+    full = jax.lax.all_gather(band_img, TILE_AXIS, axis=0, tiled=True)
+    return full[: cfg.height]
+
+
+def make_sharded_train_step(
+    render_cfg: RenderConfig,
+    train_cfg: TrainConfig,
+    mesh: jax.sharding.Mesh,
+):
+    """Build the jitted SPMD train step.
+
+    Returns step_fn(state, batch) where `batch` leaves have a leading global
+    batch axis (sharded over 'data'); the state is replicated.
+    """
+    tx = make_optimizer(train_cfg)
+    n_tile = mesh.shape[TILE_AXIS]
+    band_cfg, band_px = band_config(render_cfg, n_tile)
+
+    def device_fn(params, alive, batch):
+        def loss_fn(p):
+            def view_loss(carry, view):
+                band, _ = render_band(
+                    p, view["c2w"], view["fx"], view["fy"], view["cx"],
+                    view["cy"], render_cfg, band_cfg, band_px, alive=alive,
+                )
+                img = gather_bands(band, render_cfg)
+                total, comps = compute_loss(
+                    img, view["image"], train_cfg.lambda_l1,
+                    train_cfg.lambda_ssim,
+                )
+                return carry, (total, comps["l1"], comps["ssim"])
+
+            _, (totals, l1s, ssims) = jax.lax.scan(
+                jax.checkpoint(view_loss), 0.0, batch
+            )
+            return jnp.mean(totals), (jnp.mean(l1s), jnp.mean(ssims))
+
+        (loss, (l1, ssim)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        # Band partials -> full gradient; then average over the data axis.
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, TILE_AXIS), grads)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        l1 = jax.lax.pmean(l1, DATA_AXIS)
+        ssim = jax.lax.pmean(ssim, DATA_AXIS)
+        return grads, loss, l1, ssim
+
+    sharded = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, batch: dict):
+        grads, loss, l1, ssim = sharded(
+            state.pool.params, state.pool.alive, batch
+        )
+        grads = _clip_pos_grad(grads, train_cfg.grad_clip_pos)
+        grads = jax.tree.map(
+            lambda g: jnp.where(
+                state.pool.alive.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0
+            ),
+            grads,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.pool.params)
+        params = optax.apply_updates(state.pool.params, updates)
+        new_state = TrainState(
+            pool=GaussianPool(params=params, alive=state.pool.alive),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        metrics = {"total": loss, "l1": l1, "ssim": ssim,
+                   "pos_grad": grads["pos"]}
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_sharded_render(render_cfg: RenderConfig, mesh: jax.sharding.Mesh):
+    """Band-parallel inference renderer: (params, alive, camera) -> image."""
+    n_tile = mesh.shape[TILE_AXIS]
+    band_cfg, band_px = band_config(render_cfg, n_tile)
+
+    def device_fn(params, alive, c2w, fx, fy, cx, cy):
+        band, _ = render_band(
+            params, c2w, fx[0], fy[0], cx[0], cy[0], render_cfg, band_cfg,
+            band_px, alive=alive,
+        )
+        return gather_bands(band, render_cfg)
+
+    sharded = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def render_fn(params, alive, c2w, fx, fy, cx, cy):
+        return sharded(
+            params, alive, c2w,
+            jnp.atleast_1d(fx), jnp.atleast_1d(fy),
+            jnp.atleast_1d(cx), jnp.atleast_1d(cy),
+        )
+
+    return render_fn

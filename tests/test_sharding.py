@@ -1,0 +1,122 @@
+"""SPMD tests on the virtual 8-device CPU mesh.
+
+SURVEY §4: sharded render must match single-device (up to reduction order);
+the sharded train step must run and reduce loss identically in expectation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu import RenderConfig, TrainConfig, render_from_params
+from gsplat_tpu.models import init_pool_from_points
+from gsplat_tpu.parallel import (
+    make_mesh,
+    make_sharded_render,
+    make_sharded_train_step,
+)
+from gsplat_tpu.train import init_train_state, make_train_step
+
+CFG = RenderConfig(
+    height=64, width=64, max_pairs=4096, max_per_tile=128, tile_chunk=8
+)
+TCFG = TrainConfig(capacity=512, batch_size=4)
+CAM = dict(fx=60.0, fy=60.0, cx=32.0, cy=32.0)
+
+
+def _pool(n=96, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.concatenate(
+        [
+            np.stack(
+                [
+                    rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(3.0, 6.0, n),
+                ],
+                axis=-1,
+            ),
+            rng.uniform(0, 1, (n, 3)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return init_pool_from_points(pts, capacity=512, seed=seed)
+
+
+def _batch(pool, b=4):
+    target = dict(pool.params)
+    target["f_dc"] = target["f_dc"] + 0.4
+    c2ws, images = [], []
+    for i in range(b):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = 0.15 * i
+        img, _ = render_from_params(
+            target, jnp.asarray(c2w), CAM["fx"], CAM["fy"], CAM["cx"],
+            CAM["cy"], CFG, alive=pool.alive,
+        )
+        c2ws.append(c2w)
+        images.append(np.asarray(img))
+    return {
+        "image": jnp.asarray(np.stack(images)),
+        "c2w": jnp.asarray(np.stack(c2ws)),
+        "fx": jnp.full((b,), CAM["fx"], jnp.float32),
+        "fy": jnp.full((b,), CAM["fy"], jnp.float32),
+        "cx": jnp.full((b,), CAM["cx"], jnp.float32),
+        "cy": jnp.full((b,), CAM["cy"], jnp.float32),
+    }
+
+
+def test_requires_8_devices():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+
+
+@pytest.mark.parametrize("tile", [2, 4])
+def test_band_sharded_render_matches_single_device(tile):
+    pool = _pool()
+    img_ref, _ = render_from_params(
+        pool.params, jnp.eye(4), CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
+        CFG, alive=pool.alive,
+    )
+    mesh = make_mesh(n_devices=tile, data=1, tile=tile)
+    render_fn = make_sharded_render(CFG, mesh)
+    img = render_fn(
+        pool.params, pool.alive, jnp.eye(4),
+        CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
+    )
+    assert img.shape == img_ref.shape
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref), atol=1e-6)
+
+
+def test_dp_train_step_matches_single_device():
+    pool = _pool()
+    batch = _batch(pool, b=4)
+
+    single = make_train_step(CFG, TCFG)
+    s0 = init_train_state(_pool(), TCFG)
+    s1, m1 = single(s0, batch)
+
+    mesh = make_mesh(n_devices=4, data=4, tile=1)
+    sharded = make_sharded_train_step(CFG, TCFG, mesh)
+    d0 = init_train_state(_pool(), TCFG)
+    d1, m2 = sharded(d0, batch)
+
+    assert float(m1["total"]) == pytest.approx(float(m2["total"]), abs=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.pool.params["pos"]), np.asarray(d1.pool.params["pos"]),
+        atol=1e-6,
+    )
+
+
+def test_dp_x_tile_train_step_runs_and_learns():
+    pool = _pool()
+    batch = _batch(pool, b=4)
+    mesh = make_mesh(n_devices=8, data=4, tile=2)
+    step = make_sharded_train_step(CFG, TCFG, mesh)
+    state = init_train_state(pool, TCFG)
+    state, m0 = step(state, batch)
+    first = float(m0["total"])
+    for _ in range(10):
+        state, m = step(state, batch)
+    assert float(m["total"]) < first
+    assert np.isfinite(float(m["total"]))

@@ -1,0 +1,213 @@
+"""Training-loop tests: loss decreases, ADC pool mechanics, checkpointing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu import RenderConfig, TrainConfig, render_from_params
+from gsplat_tpu.models import (
+    GaussianPool,
+    densify_and_prune,
+    export_params,
+    init_pool_from_points,
+    raise_low_opacity,
+)
+from gsplat_tpu.train import (
+    TrainState,
+    adc_step,
+    init_train_state,
+    load_checkpoint,
+    make_train_step,
+    position_lr,
+    save_checkpoint,
+)
+
+CFG = RenderConfig(
+    height=64, width=64, max_pairs=4096, max_per_tile=128, tile_chunk=8
+)
+TCFG = TrainConfig(capacity=512, batch_size=2)
+CAM = dict(fx=60.0, fy=60.0, cx=32.0, cy=32.0)
+
+
+def _make_pool(n=64, capacity=512, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.concatenate(
+        [
+            np.stack(
+                [
+                    rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(3.0, 6.0, n),
+                ],
+                axis=-1,
+            ),
+            rng.uniform(0, 1, (n, 3)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return init_pool_from_points(pts, capacity=capacity, seed=seed)
+
+
+def _make_batch(pool, b=2, seed=1):
+    """Ground-truth views rendered from a perturbed copy of the pool."""
+    rng = np.random.default_rng(seed)
+    c2ws, images = [], []
+    target = jax.tree.map(lambda x: x, pool.params)
+    target["f_dc"] = target["f_dc"] + 0.5  # make GT differ from init
+    for i in range(b):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = 0.2 * i
+        img, _ = render_from_params(
+            target, jnp.asarray(c2w), CAM["fx"], CAM["fy"], CAM["cx"],
+            CAM["cy"], CFG, alive=pool.alive,
+        )
+        c2ws.append(c2w)
+        images.append(np.asarray(img))
+    return {
+        "image": jnp.asarray(np.stack(images)),
+        "c2w": jnp.asarray(np.stack(c2ws)),
+        "fx": jnp.full((b,), CAM["fx"], jnp.float32),
+        "fy": jnp.full((b,), CAM["fy"], jnp.float32),
+        "cx": jnp.full((b,), CAM["cx"], jnp.float32),
+        "cy": jnp.full((b,), CAM["cy"], jnp.float32),
+    }
+
+
+def test_position_lr_schedule():
+    tcfg = TrainConfig()
+    # Delay phase: 1% of max steps at 0.01x.
+    assert float(position_lr(0, tcfg)) == pytest.approx(
+        tcfg.position_lr_init * 0.01, rel=1e-5
+    )
+    # After delay, pure exponential decay.
+    mid = tcfg.position_lr_max_steps // 2
+    expected = tcfg.position_lr_init * (
+        tcfg.position_lr_final / tcfg.position_lr_init
+    ) ** (mid / tcfg.position_lr_max_steps)
+    assert float(position_lr(mid, tcfg)) == pytest.approx(expected, rel=1e-4)
+    assert float(position_lr(10**6, tcfg)) == pytest.approx(
+        tcfg.position_lr_final, rel=1e-5
+    )
+
+
+def test_train_step_decreases_loss():
+    pool = _make_pool()
+    state = init_train_state(pool, TCFG)
+    batch = _make_batch(pool)
+    step = make_train_step(CFG, TCFG)
+    state, m0 = step(state, batch)
+    losses = [float(m0["total"])]
+    for _ in range(20):
+        state, m = step(state, batch)
+        losses.append(float(m["total"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert int(state.step) == 21
+    # Dead slots must not have moved.
+    dead = ~np.asarray(state.pool.alive)
+    assert np.all(np.asarray(state.pool.params["pos"])[dead] == 0.0)
+
+
+def test_adc_prune_and_spawn():
+    pool = _make_pool(n=64)
+    # Make 10 gaussians transparent -> prune; give 8 high position grads.
+    params = dict(pool.params)
+    params["opacity_raw"] = params["opacity_raw"].at[:10].set(-8.0)
+    # big scale for 4 (split), small for 4 (clone)
+    params["scale_raw"] = params["scale_raw"].at[10:14].set(0.0)  # exp=1 > 0.01
+    params["scale_raw"] = params["scale_raw"].at[14:18].set(-6.0)  # tiny
+    pool = GaussianPool(params=params, alive=pool.alive)
+    grads = jnp.zeros((pool.capacity, 3)).at[10:18].set(1.0)
+    res = densify_and_prune(pool, grads, jax.random.key(0))
+    assert int(res.num_pruned) == 10
+    assert int(res.num_split) == 4
+    assert int(res.num_cloned) == 4
+    assert int(res.num_overflowed) == 0
+    # alive count: 64 - 10 + 8
+    assert int(res.pool.num_alive()) == 62
+    # Children: cloned ones must be exact copies.
+    new_slots = np.flatnonzero(
+        np.asarray(res.new_slot_mask) & np.asarray(res.pool.alive)
+    )
+    assert len(new_slots) == 8
+    # 4 split children at parent-0.5 = -0.5, 4 clone children at -6 exactly.
+    child_scales = np.sort(np.asarray(res.pool.params["scale_raw"])[new_slots, 0])
+    np.testing.assert_allclose(child_scales[:4], -6.0, atol=1e-6)
+    np.testing.assert_allclose(child_scales[4:], -0.5, atol=1e-6)
+
+
+def test_adc_overflow_reporting():
+    pool = _make_pool(n=64, capacity=70)
+    grads = jnp.zeros((70, 3)).at[:64].set(1.0)  # everyone wants to spawn
+    params = dict(pool.params)
+    params["scale_raw"] = jnp.full_like(params["scale_raw"], 0.0)  # all split
+    pool = GaussianPool(params=params, alive=pool.alive)
+    res = densify_and_prune(pool, grads, jax.random.key(0))
+    assert int(res.num_overflowed) == 64 - 6
+    assert int(res.pool.num_alive()) == 70  # filled to capacity
+
+
+def test_opacity_raise():
+    pool = _make_pool(n=16)
+    params = dict(pool.params)
+    params["opacity_raw"] = params["opacity_raw"].at[:4].set(-8.0)
+    pool = GaussianPool(params=params, alive=pool.alive)
+    out = raise_low_opacity(pool)
+    new_op = np.asarray(jax.nn.sigmoid(out.params["opacity_raw"][:4]))
+    old_op = np.asarray(jax.nn.sigmoid(params["opacity_raw"][:4]))
+    np.testing.assert_allclose(new_op, old_op + 0.01, atol=1e-5)
+    # Others untouched.
+    np.testing.assert_array_equal(
+        np.asarray(out.params["opacity_raw"][4:16]),
+        np.asarray(params["opacity_raw"][4:16]),
+    )
+
+
+def test_adc_step_resets_moments():
+    pool = _make_pool()
+    state = init_train_state(pool, TCFG)
+    batch = _make_batch(pool)
+    step = make_train_step(CFG, TCFG)
+    state, metrics = step(state, batch)
+    # Force a prune: make slot 0 transparent.
+    params = dict(state.pool.params)
+    params["opacity_raw"] = params["opacity_raw"].at[0].set(-8.0)
+    state = TrainState(
+        pool=GaussianPool(params=params, alive=state.pool.alive),
+        opt_state=state.opt_state, step=state.step,
+    )
+    new_state, res = adc_step(
+        state, metrics["pos_grad"], jax.random.key(1), (0.01, 0.01, 0.01)
+    )
+    assert int(res.num_pruned) >= 1
+    # Adam mu for pruned slot zeroed (multi_transform state nesting probed
+    # generically: every capacity-length leaf must be zero at slot 0).
+    leaves = jax.tree.leaves(new_state.opt_state)
+    cap_leaves = [l for l in leaves if hasattr(l, "shape") and l.ndim >= 1
+                  and l.shape[0] == pool.capacity]
+    assert cap_leaves, "no capacity-shaped optimizer leaves found"
+    for leaf in cap_leaves:
+        assert np.all(np.asarray(leaf)[0] == 0.0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pool = _make_pool()
+    state = init_train_state(pool, TCFG)
+    batch = _make_batch(pool)
+    step = make_train_step(CFG, TCFG)
+    state, _ = step(state, batch)
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(path, state)
+    fresh = init_train_state(_make_pool(seed=9), TCFG)
+    restored = load_checkpoint(path, fresh)
+    assert int(restored.step) == 1
+    for k in state.pool.params:
+        np.testing.assert_array_equal(
+            np.asarray(restored.pool.params[k]), np.asarray(state.pool.params[k])
+        )
+    # Training continues identically from a restore.
+    s1, m1 = step(state, batch)
+    s2, m2 = step(restored, batch)
+    assert float(m1["total"]) == pytest.approx(float(m2["total"]), abs=1e-7)
