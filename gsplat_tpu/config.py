@@ -47,6 +47,22 @@ class RenderConfig:
     max_pairs: int = 2**18
     max_per_tile: int = 1024
     tile_chunk: int = 16  # tiles rasterized per scan step (memory knob)
+    # Pallas rasterizer: pairs are processed in fixed blocks of `pair_block`
+    # per grid step; every tile's pair run is padded to a block multiple so a
+    # block never spans two tiles. `backend` selects the compositor:
+    # 'pallas' (TPU kernel), 'xla' (lax.map fallback), 'auto' (pallas on TPU).
+    pair_block: int = 128
+    backend: str = "auto"
+
+    @property
+    def padded_pairs(self) -> int:
+        """Static capacity of the block-aligned pair list."""
+        worst_pad = self.num_tiles * (self.pair_block - 1)
+        return cdiv(self.max_pairs + worst_pad, self.pair_block) * self.pair_block
+
+    @property
+    def num_pair_blocks(self) -> int:
+        return self.padded_pairs // self.pair_block
 
     @property
     def tiles_x(self) -> int:

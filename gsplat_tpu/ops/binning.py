@@ -3,19 +3,37 @@
 Replaces the reference's dynamic-shape binning
 (/root/reference/gaussian_splatting/render.py:221-303: repeat_interleave
 expansion, composite-key sort with a python-int multiplier, and
-unique_consecutive) with an XLA-friendly fixed-capacity design:
+unique_consecutive) with an XLA/TPU-friendly fixed-capacity design built
+around three measured TPU facts (v5e, 4M pairs / 131k gaussians):
 
-1. Per-Gaussian tile-footprint counts come from the clamped AABBs computed by
-   projection (zero for invalid slots).
-2. The flat pair list is produced WITHOUT dynamic shapes via the
-   exclusive-cumsum + searchsorted "expand" trick: pair p belongs to gaussian
-   g = searchsorted(offsets, p, 'right') - 1 and covers the (p - offsets[g])-th
-   tile of g's footprint (row-major over the footprint rectangle).
-3. Pairs are sorted lexicographically by (tile_id, depth_rank) with ONE
-   multi-operand `lax.sort` (num_keys=2) — no int64 composite key needed
-   (int32 tile_id * N would overflow; the reference relies on python ints).
-4. Per-tile [start, count) ranges come from two vectorized searchsorteds over
-   the sorted tile ids — the static-shape equivalent of unique_consecutive.
+* ``lax.sort`` is nearly free (~12 ms stable 1-key 4M) — sorting is NOT the
+  bottleneck the CUDA literature assumes;
+* random-access gathers of 4M indices are expensive (~33 ms EACH), and
+  ``searchsorted`` with 4M queries is catastrophic (547 ms, scan method);
+* scatter-of-131k + 4M cumsum is cheap (~6 ms).
+
+So the pipeline is gather-free on the pair axis:
+
+1. Footprint counts per depth-ordered gaussian -> exclusive ``offsets``.
+2. Expansion: the owning depth-slot of pair p is ``count(offsets <= p)-1``
+   — a histogram of the N+1 offsets plus one cumsum (NOT searchsorted).
+3. Every per-pair value X[slot[p]] is produced by DELTA ENCODING: scatter
+   ``X[i]-X[i-1]`` at position ``offsets[i]`` and cumsum — the running sum
+   telescopes to exactly X[owner(p)] at every position (duplicate offsets
+   from empty gaussians accumulate correctly because deltas ADD). The three
+   footprint fields (tile x0, y0, width) are packed 10 bits each into one
+   int32 so ONE cumsum carries all three (packing is linear, so packed
+   deltas telescope exactly like scalar ones).
+4. Pairs are generated depth-major, so ONE stable sort by tile id yields
+   tile-major, depth-ordered-within-tile runs.
+5. Tile [start, end) ranges: one searchsorted with num_tiles+1 queries
+   (runs are contiguous, so end[t] = start[t+1]).
+6. For the Pallas rasterizer the sorted list is scattered into a
+   BLOCK-ALIGNED layout: every tile's run is padded to a multiple of
+   ``cfg.pair_block`` so each fixed-size block of pairs belongs to exactly
+   one tile (scatter indices are sorted+unique — flags let XLA skip its
+   dedup passes). Per-block metadata (owning tile, is-first flag) is
+   emitted for scalar prefetch.
 
 Overflow is never silent: `num_pairs` (actual) and `capacity` are both
 reported; pairs past capacity are dropped deterministically from the BACK of
@@ -32,14 +50,27 @@ from jax import lax
 from ..config import RenderConfig
 from .projection import ProjectedGaussians
 
+_PACK_BITS = 10  # per-field width for the packed footprint cumsum
+_PACK_MASK = (1 << _PACK_BITS) - 1
+
 
 class TileBinning(NamedTuple):
-    """Sorted (gaussian, tile) pair list + per-tile ranges."""
+    """Sorted, block-aligned (gaussian, tile) pair list + per-tile ranges.
 
-    pair_gauss: jnp.ndarray  # [max_pairs] int32 gaussian index (tile-major, depth-ordered)
-    pair_tile: jnp.ndarray  # [max_pairs] int32 tile id (num_tiles = invalid sentinel)
-    tile_start: jnp.ndarray  # [num_tiles] int32 first pair index of tile
-    tile_count: jnp.ndarray  # [num_tiles] int32 pairs in tile
+    The pair list has static length ``cfg.padded_pairs`` and is tile-major
+    with each tile's run starting at a multiple of ``cfg.pair_block``;
+    padding slots hold -1. ``pair_slot`` indexes into the DEPTH-SORTED
+    gaussian order: gaussian_id = depth_order[pair_slot]. Consumers should
+    gather per-gaussian features through ``depth_order`` once (an N-sized
+    gather) rather than materializing per-pair gaussian ids (a pairs-sized
+    gather).
+    """
+
+    pair_slot: jnp.ndarray  # [padded_pairs] int32 depth-rank; -1 = padding
+    tile_start: jnp.ndarray  # [num_tiles] int32 first pair slot of tile
+    tile_count: jnp.ndarray  # [num_tiles] int32 real pairs in tile
+    block_tile: jnp.ndarray  # [num_blocks] int32 owning tile of each block
+    block_first: jnp.ndarray  # [num_blocks] int32 1 if first block of tile
     num_pairs: jnp.ndarray  # [] int32 true pair count (may exceed capacity!)
     depth_order: jnp.ndarray  # [N] int32 gaussian indices sorted by depth
 
@@ -58,16 +89,49 @@ def depth_order_and_rank(depth: jnp.ndarray, valid: jnp.ndarray):
     return order.astype(jnp.int32), rank
 
 
+def _expand_slots(offsets: jnp.ndarray, cap: int, n: int) -> jnp.ndarray:
+    """slot[p] = which of the N ranges [offsets[i], offsets[i+1]) holds p.
+
+    Histogram + cumsum formulation of ``searchsorted(offsets, p, 'right')-1``
+    exploiting that queries are the dense range [0, cap). Returns n for
+    p >= offsets[-1] (invalid marker).
+    """
+    hist = jnp.zeros(cap + 1, jnp.int32).at[
+        jnp.clip(offsets, 0, cap)
+    ].add(1)
+    return jnp.cumsum(hist)[:cap] - 1
+
+
+def _owner_values(values: jnp.ndarray, offsets: jnp.ndarray, cap: int):
+    """val[p] = values[owner(p)] without a pairs-sized gather.
+
+    ``values`` has shape [N]; owner(p) is the gaussian whose pair range
+    [offsets[i], offsets[i+1]) contains p. Delta encoding + scatter-add +
+    cumsum telescopes exactly (int32 arithmetic); positions past the last
+    offset carry the final gaussian's value — callers mask those.
+    """
+    delta = jnp.concatenate([values[:1], values[1:] - values[:-1]])
+    # mode='drop' discards deltas at positions >= cap (capacity overflow) —
+    # do NOT clip them in range, that would corrupt the last slot's value.
+    arr = jnp.zeros(cap, values.dtype).at[offsets[:-1]].add(
+        delta, mode="drop"
+    )
+    return jnp.cumsum(arr)
+
+
 def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
-    """Build the sorted pair list for one view. All shapes static."""
+    """Build the block-aligned sorted pair list for one view (static shapes)."""
     n = proj.depth.shape[0]
     num_tiles = cfg.num_tiles
     cap = cfg.max_pairs
+    G = cfg.pair_block
+    cap_pad = cfg.padded_pairs
+    num_blocks = cap_pad // G
 
-    order, rank = depth_order_and_rank(proj.depth, proj.valid)
+    order, _ = depth_order_and_rank(proj.depth, proj.valid)
 
     # Footprint counts in DEPTH order so that capacity overflow drops the
-    # farthest gaussians' pairs first.
+    # farthest gaussians' pairs first. (N-sized gathers are cheap.)
     tile_min = proj.tile_min[order]
     tile_max = proj.tile_max[order]
     n_u = jnp.maximum(tile_max[:, 0] - tile_min[:, 0] + 1, 0)
@@ -79,42 +143,83 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     )  # [N+1] exclusive offsets
     total = offsets[-1]
 
+    # --- expansion, gather-free ---
     p = jnp.arange(cap, dtype=jnp.int32)
-    # Which depth-slot does pair p belong to?
-    slot = jnp.clip(
-        jnp.searchsorted(offsets, p, side="right").astype(jnp.int32) - 1, 0, n - 1
-    )
-    local = p - offsets[slot]
-    nu = jnp.maximum(n_u[slot], 1)
-    tx = tile_min[slot, 0] + local % nu
-    ty = tile_min[slot, 1] + local // nu
-    tile_id = (ty * cfg.tiles_x + tx).astype(jnp.int32)
-    pair_ok = p < total
-    tile_id = jnp.where(pair_ok, tile_id, num_tiles)
+    slot = _expand_slots(offsets, cap, n)  # [cap] in [0, n]
+    pair_ok = slot < n
 
-    gauss = order[slot]
-    depth_rank = jnp.where(pair_ok, rank[gauss], n)
+    packed = (
+        tile_min[:, 0]
+        | (tile_min[:, 1] << _PACK_BITS)
+        | (jnp.maximum(n_u, 1) << (2 * _PACK_BITS))
+    ).astype(jnp.int32)
+    packed_p = _owner_values(packed, offsets, cap)
+    start_p = _owner_values(offsets[:-1], offsets, cap)
 
-    # Lexicographic (tile, depth) sort; stable not required since keys are
-    # unique per (tile, gaussian).
-    sorted_tile, _, sorted_gauss = lax.sort(
-        (tile_id, depth_rank.astype(jnp.int32), gauss.astype(jnp.int32)),
-        num_keys=2,
+    local = p - start_p
+    x0 = packed_p & _PACK_MASK
+    y0 = (packed_p >> _PACK_BITS) & _PACK_MASK
+    nu = jnp.maximum((packed_p >> (2 * _PACK_BITS)) & _PACK_MASK, 1)
+    tx = x0 + local % nu
+    ty = y0 + local // nu
+    tile_id = jnp.where(
+        pair_ok, (ty * cfg.tiles_x + tx).astype(jnp.int32), num_tiles
+    )
+    slot = jnp.where(pair_ok, slot, -1)
+
+    # Pairs are depth-major already -> ONE stable sort by tile id gives
+    # tile-major runs that stay depth-ordered within each tile.
+    sorted_tile, sorted_slot = lax.sort(
+        (tile_id, slot), num_keys=1, is_stable=True
     )
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(
-        jnp.int32
+    # Per-tile [start, end): runs are contiguous, so one searchsorted with
+    # num_tiles + 1 queries yields both boundaries.
+    bounds = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_start_raw = bounds[:num_tiles]
+    tile_count = bounds[1:] - bounds[:num_tiles]
+
+    # --- block alignment: pad each tile's run to a multiple of G ---
+    padded_count = -(-tile_count // G) * G
+    padded_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_count)]
+    )  # [num_tiles + 1]
+    pad_before = padded_start[:num_tiles] - tile_start_raw  # per tile
+
+    # Per-pair shift, again via boundary deltas + cumsum (tile runs start at
+    # tile_start_raw): shift[p] = pad_before[tile_of_p].
+    shift_delta = jnp.concatenate(
+        [pad_before[:1], pad_before[1:] - pad_before[:-1]]
     )
-    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(
-        jnp.int32
+    shift = jnp.cumsum(
+        jnp.zeros(cap, jnp.int32).at[tile_start_raw].add(
+            shift_delta, mode="drop"
+        )
     )
+    new_pos = jnp.where(
+        sorted_tile < num_tiles, p + shift, cap_pad
+    )
+    pair_slot = jnp.full((cap_pad,), -1, jnp.int32).at[new_pos].set(
+        sorted_slot, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+
+    # Per-block metadata: owning tile + first-block flag (scalar prefetch).
+    b0 = jnp.arange(num_blocks, dtype=jnp.int32) * G
+    block_tile = (
+        jnp.searchsorted(padded_start, b0, side="right").astype(jnp.int32) - 1
+    )
+    block_used = b0 < padded_start[num_tiles]
+    block_tile = jnp.clip(block_tile, 0, num_tiles - 1)
+    block_first = (b0 == padded_start[block_tile]) & block_used
 
     return TileBinning(
-        pair_gauss=sorted_gauss,
-        pair_tile=sorted_tile,
-        tile_start=tile_start,
-        tile_count=tile_end - tile_start,
+        pair_slot=pair_slot,
+        tile_start=padded_start[:num_tiles],
+        tile_count=tile_count,
+        block_tile=block_tile.astype(jnp.int32),
+        block_first=block_first.astype(jnp.int32),
         num_pairs=total,
         depth_order=order,
     )

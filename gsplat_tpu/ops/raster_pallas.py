@@ -1,0 +1,338 @@
+"""Pallas TPU rasterization kernels: fused tile compositing, forward + VJP.
+
+This is the TPU-native replacement for the reference's python tile loop and
+its autograd backward (/root/reference/gaussian_splatting/render.py:325-410)
+— the component SURVEY.md §2 marks ★★. Design:
+
+* The binning stage (ops/binning.py) emits a BLOCK-ALIGNED pair list: each
+  tile's depth-ordered gaussians occupy consecutive blocks of
+  ``cfg.pair_block`` pairs, so one grid step processes exactly one
+  (tile, pair-block) and blocks of the same tile are consecutive grid steps.
+* The kernel's grid walks pair blocks; the OUTPUT block (one tile's pixels)
+  is revisited across consecutive steps, acting as the on-chip accumulator:
+  rows 0-2 hold the composited RGB, row 3 holds the running transmittance.
+  Pallas keeps the block in VMEM until the owning tile changes — the
+  standard grid-reduction pattern, with zero HBM traffic between blocks.
+* Transmittance is composed in log space: T_i = T_carry * exp(cumsum
+  log1p(-alpha)); mathematically identical to the reference's shifted
+  cumprod (render.py:379-383) and cheap on the VPU.
+* EARLY EXIT: once every pixel of a tile saturates (T <= transmittance_min)
+  remaining blocks of that tile are skipped — the dominant win over the XLA
+  fallback, which always composites the full static capacity.
+* The BACKWARD kernel re-walks the same blocks front-to-back, reconstructing
+  T_i and the prefix color sum; the suffix sum needed for dL/dalpha_i is
+  S_i = C_final - prefix_i (C_final comes from the forward output), so
+  NOTHING per-pair is stored between passes — O(pixels) residuals instead of
+  the reference's O(pairs x pixels) autograd tape (its OOM mode).
+
+Feature packing (per pair, 16 f32 lanes, only 9 used):
+    0:u  1:v  2:conic_a  3:conic_b  4:conic_c  5:opacity  6:r  7:g  8:b
+Gradient packing mirrors it, so the pair-feature gather's autodiff (an XLA
+scatter-add) routes per-pair grads back to per-gaussian grads for free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+
+FEAT_WIDTH = 16
+
+
+def _pixel_grid(t: int, P: int, tiles_x: int, tile_id):
+    """Global pixel-center coordinates of a tile's P = t*t pixels.
+
+    Pixel order matches the reference meshgrid(indexing='xy') flatten:
+    index = py * t + px  (render.py:325-340).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    ox = (tile_id % tiles_x) * t
+    oy = (tile_id // tiles_x) * t
+    px = (lane % t + ox).astype(jnp.float32)
+    py = (lane // t + oy).astype(jnp.float32)
+    return px, py
+
+
+def _cumsum_rows_incl(x):
+    """Inclusive cumulative sum along axis 0 of [G, P].
+
+    Mosaic has no native cumsum lowering; a lower-triangular ones matmul on
+    the MXU ([G, G] @ [G, P]) is both supported and fast (G=128 is the MXU's
+    native tile).
+    """
+    G = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    L = (row >= col).astype(x.dtype)
+    return jax.lax.dot_general(
+        L, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _block_alpha(feats, px, py, cfg: RenderConfig):
+    """Per-(pair, pixel) alpha for one block. feats [G, 16] -> alpha [G, P].
+
+    Math parity with the reference python tile loop (render.py:351-374):
+    q = A du^2 + 2 B du dv + C dv^2; g = exp(-q/2) masked at chi2_clip;
+    alpha = min(op * g, alpha_max) zeroed below alpha_cutoff.
+    Returns (alpha, du, dv, g, a_raw) — the extras feed the backward pass.
+    """
+    u = feats[:, 0:1]
+    v = feats[:, 1:2]
+    ca = feats[:, 2:3]
+    cb = feats[:, 3:4]
+    cc = feats[:, 4:5]
+    op = feats[:, 5:6]
+
+    du = px - u  # [G, P]
+    dv = py - v
+    q = ca * du * du + 2.0 * cb * du * dv + cc * dv * dv
+    g = jnp.where(q <= cfg.chi2_clip, jnp.exp(-0.5 * q), 0.0)
+    a_raw = op * g
+    a_clamped = jnp.minimum(a_raw, cfg.alpha_max)
+    alpha = jnp.where(a_clamped >= cfg.alpha_cutoff, a_clamped, 0.0)
+    return alpha, du, dv, g, a_raw
+
+
+def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
+                *, cfg: RenderConfig):
+    b = pl.program_id(0)
+    t_id = block_tile_ref[b]
+    first = block_first_ref[b]
+    P = cfg.tile * cfg.tile
+
+    garbage_free = first == 1  # out_ref holds garbage at first visit
+    T_in = jnp.where(
+        garbage_free, jnp.ones((1, P), jnp.float32), out_ref[0, 3:4, :]
+    )
+    rgb_in = jnp.where(
+        garbage_free, jnp.zeros((3, P), jnp.float32), out_ref[0, 0:3, :]
+    )
+
+    # Skip saturated tiles (every pixel's transmittance below threshold).
+    @pl.when((first == 1) | (jnp.max(T_in) > cfg.transmittance_min))
+    def _():
+        feats = feat_ref[...]  # [G, 16]
+        px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
+        alpha, *_ = _block_alpha(feats, px, py, cfg)
+
+        # T_i = T_carry * prod_{j<i}(1 - alpha_j), in log space.
+        s = jnp.log1p(-alpha)
+        cum = _cumsum_rows_incl(s)
+        T_excl = jnp.exp(cum - s) * T_in  # [G, P]
+        alive = T_excl > cfg.transmittance_min
+        w = jnp.where(alive, alpha * T_excl, 0.0)
+
+        rgb = feats[:, 6:9]  # [G, 3]
+        contrib = jax.lax.dot_general(
+            rgb, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [3, P]
+        out_ref[0, 0:3, :] = rgb_in + contrib
+        out_ref[0, 3:4, :] = T_in * jnp.exp(
+            jnp.sum(s, axis=0, keepdims=True)
+        )
+
+
+def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
+                dfeat_ref, carry_ref, *, cfg: RenderConfig):
+    b = pl.program_id(0)
+    t_id = block_tile_ref[b]
+    first = block_first_ref[b]
+    G = cfg.pair_block
+    P = cfg.tile * cfg.tile
+
+    T_in = jnp.where(
+        first == 1, jnp.ones((1, P), jnp.float32), carry_ref[3:4, :]
+    )
+    prefix_in = jnp.where(
+        first == 1, jnp.zeros((3, P), jnp.float32), carry_ref[0:3, :]
+    )
+
+    active = (first == 1) | (jnp.max(T_in) > cfg.transmittance_min)
+
+    @pl.when(active)
+    def _():
+        feats = feat_ref[...]  # [G, 16]
+        px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
+        alpha, du, dv, g, a_raw = _block_alpha(feats, px, py, cfg)
+        ca = feats[:, 2:3]
+        cb = feats[:, 3:4]
+        op = feats[:, 5:6]
+        rgb = feats[:, 6:9]  # [G, 3]
+
+        s = jnp.log1p(-alpha)
+        cum = _cumsum_rows_incl(s)
+        T_excl = jnp.exp(cum - s) * T_in  # [G, P]
+        alive = T_excl > cfg.transmittance_min
+        w = jnp.where(alive, alpha * T_excl, 0.0)  # [G, P]
+
+        gC = gout_ref[0, 0:3, :]  # [3, P] cotangent of composited rgb
+        gT = gout_ref[0, 3:4, :]  # [1, P] cotangent of final transmittance
+        C_final = fwd_ref[0, 0:3, :]  # [3, P]
+        T_final = fwd_ref[0, 3:4, :]
+
+        # d rgb: dL/drgb[i, c] = sum_p gC[c, p] * w[i, p]
+        drgb = jax.lax.dot_general(
+            w, gC, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, 3]
+
+        # Prefix color sums INCLUDING row i: prefix_i = prefix_in + cumsum.
+        # gdotc[i, p] = sum_c gC[c, p] * rgb[i, c]
+        gdotc = jax.lax.dot_general(
+            rgb, gC, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, P]
+        # gP[i, p] = sum_c gC[c, p] * prefix_incl[c][i, p]; build via cumsum
+        # of per-row weighted contributions.
+        gP_in = jnp.sum(gC * prefix_in, axis=0)[None, :]  # [1, P]
+        gS_full = jnp.sum(gC * C_final, axis=0)[None, :]  # [1, P]
+        gP_incl = gP_in + _cumsum_rows_incl(gdotc * w)  # [G, P]
+        gS = gS_full - gP_incl  # sum_c gC * S_i  (suffix after row i)
+
+        # dL/dalpha_i = sum_c gC (rgb_i T_i alive) - (gS + gT T_final)/(1-a)
+        one_minus = jnp.maximum(1.0 - alpha, 1.0 - cfg.alpha_max)
+        dalpha = jnp.where(alive, gdotc * T_excl, 0.0) - (
+            gS + gT * T_final
+        ) / one_minus
+        # alpha gates: min() clamp and the cutoff zeroing.
+        gate = (a_raw < cfg.alpha_max) & (
+            jnp.minimum(a_raw, cfg.alpha_max) >= cfg.alpha_cutoff
+        )
+        ga = jnp.where(gate, dalpha, 0.0)  # d a_raw
+
+        dop_px = ga * g  # [G, P]
+        dg = ga * op
+        dq = dg * (-0.5) * g  # g = exp(-q/2) (zero where q > chi2 since g=0)
+
+        dca = jnp.sum(dq * du * du, axis=1, keepdims=True)
+        dcb = jnp.sum(2.0 * dq * du * dv, axis=1, keepdims=True)
+        dcc = jnp.sum(dq * dv * dv, axis=1, keepdims=True)
+        cc_ = feats[:, 4:5]
+        ddu = dq * (2.0 * ca * du + 2.0 * cb * dv)
+        ddv = dq * (2.0 * cc_ * dv + 2.0 * cb * du)
+        du_ = -jnp.sum(ddu, axis=1, keepdims=True)  # du = px-u -> d/du = -1
+        dv_ = -jnp.sum(ddv, axis=1, keepdims=True)
+        dop = jnp.sum(dop_px, axis=1, keepdims=True)
+
+        dfeat_ref[...] = jnp.concatenate(
+            [
+                du_, dv_, dca, dcb, dcc, dop, drgb,
+                jnp.zeros((G, FEAT_WIDTH - 9), jnp.float32),
+            ],
+            axis=1,
+        )
+
+        # Advance the carry.
+        carry_ref[0:3, :] = prefix_in + jax.lax.dot_general(
+            rgb, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        carry_ref[3:4, :] = T_in * jnp.exp(
+            jnp.sum(s, axis=0, keepdims=True)
+        )
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dfeat_ref[...] = jnp.zeros((G, FEAT_WIDTH), jnp.float32)
+
+
+def _fwd_pallas(pair_feat, block_tile, block_first, cfg: RenderConfig):
+    P = cfg.tile * cfg.tile
+    num_blocks = cfg.num_pair_blocks
+    G = cfg.pair_block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((G, FEAT_WIDTH), lambda b, bt, bf: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, 8, P), jnp.float32),
+        interpret=_use_interpret(),
+    )(block_tile, block_first, pair_feat)
+
+
+def _bwd_pallas(pair_feat, block_tile, block_first, fwd_out, gout,
+                cfg: RenderConfig):
+    P = cfg.tile * cfg.tile
+    num_blocks = cfg.num_pair_blocks
+    G = cfg.pair_block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((G, FEAT_WIDTH), lambda b, bt, bf: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, FEAT_WIDTH), lambda b, bt, bf: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cfg.padded_pairs, FEAT_WIDTH),
+                                       jnp.float32),
+        interpret=_use_interpret(),
+    )(block_tile, block_first, pair_feat, fwd_out, gout)
+
+
+def _use_interpret() -> bool:
+    """Interpret mode on non-TPU backends (CPU tests run the same code)."""
+    return jax.default_backend() != "tpu"
+
+
+def _composite_impl(pair_feat, block_tile, block_first, cfg: RenderConfig):
+    """Composite the block-aligned pair list into per-tile pixel buffers.
+
+    Args:
+        pair_feat: [padded_pairs, 16] f32 per-pair features (see module doc);
+            padding slots must be all-zero.
+        block_tile: [num_pair_blocks] int32 owning tile per block.
+        block_first: [num_pair_blocks] int32 1 for the first block of a tile.
+        cfg: static render config (non-differentiable).
+
+    Returns:
+        [num_tiles, 8, tile*tile] f32: rows 0-2 composited RGB, row 3 final
+        transmittance. Tiles that own no block are NOT written — mask with
+        tile_count > 0 downstream.
+    """
+    return _fwd_pallas(pair_feat, block_tile, block_first, cfg)
+
+
+composite_pairs = jax.custom_vjp(_composite_impl, nondiff_argnums=(3,))
+
+
+def _cp_fwd(pair_feat, block_tile, block_first, cfg):
+    out = _fwd_pallas(pair_feat, block_tile, block_first, cfg)
+    return out, (pair_feat, block_tile, block_first, out)
+
+
+def _cp_bwd(cfg, res, gout):
+    pair_feat, block_tile, block_first, fwd_out = res
+    dfeat = _bwd_pallas(pair_feat, block_tile, block_first, fwd_out, gout, cfg)
+    zero_bt = np.zeros(block_tile.shape, dtype=jax.dtypes.float0)
+    zero_bf = np.zeros(block_first.shape, dtype=jax.dtypes.float0)
+    return dfeat, zero_bt, zero_bf
+
+
+composite_pairs.defvjp(_cp_fwd, _cp_bwd)

@@ -95,7 +95,23 @@ def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
     return jnp.einsum("ckp,ckd->cpd", w, rgb, precision="highest")
 
 
-def rasterize_binned(
+def _pair_features(proj: ProjectedGaussians, colors: jnp.ndarray, dtype):
+    """[N, 9] per-gaussian features (u, v, conic x3, opacity, rgb)."""
+    feat = jnp.concatenate(
+        [
+            proj.uv,
+            proj.conic,
+            proj.opacity[:, None],
+            colors,
+        ],
+        axis=-1,
+    ).astype(dtype)  # [N, 9]
+    # Zero invalid rows: masked (not filtered) slots may hold NaN/inf from
+    # culled gaussians, and 0-weight * NaN would still poison the composite.
+    return jnp.where(proj.valid[:, None], feat, 0.0)
+
+
+def rasterize_binned_xla(
     proj: ProjectedGaussians,
     colors: jnp.ndarray,
     binning: TileBinning,
@@ -109,22 +125,13 @@ def rasterize_binned(
     num_tiles = cfg.num_tiles
     num_chunks = -(-num_tiles // C)
 
-    # Flat per-pair features, tile-major depth-ordered. One global gather.
-    cap = cfg.max_pairs
-    g_idx = binning.pair_gauss
-    feat = jnp.concatenate(
-        [
-            proj.uv,
-            proj.conic,
-            proj.opacity[:, None],
-            colors,
-        ],
-        axis=-1,
-    ).astype(dtype)  # [N, 9]
-    # Zero invalid rows: masked (not filtered) slots may hold NaN/inf from
-    # culled gaussians, and 0-weight * NaN would still poison the composite.
-    feat = jnp.where(proj.valid[:, None], feat, 0.0)
-    pair_feat = feat[g_idx]  # [cap, 9]
+    # Flat per-pair features, tile-major depth-ordered. One global gather
+    # through the depth order (pair_slot indexes depth-sorted gaussians).
+    cap = cfg.padded_pairs
+    s_idx = binning.pair_slot  # [padded_pairs], -1 = padding slot
+    feat = _pair_features(proj, colors, dtype)[binning.depth_order]
+    pair_feat = feat[jnp.clip(s_idx, 0, feat.shape[0] - 1)]  # [cap, 9]
+    pair_feat = jnp.where(s_idx[:, None] >= 0, pair_feat, 0.0)
 
     # Tile origins for every tile (static).
     tids = jnp.arange(num_chunks * C, dtype=jnp.int32)
@@ -176,6 +183,68 @@ def rasterize_binned(
         per_tile_capacity=K,
     )
     return img, aux
+
+
+def rasterize_binned_pallas(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    binning: TileBinning,
+    cfg: RenderConfig,
+):
+    """Rasterize via the Pallas TPU kernel (ops/raster_pallas.py)."""
+    from .raster_pallas import FEAT_WIDTH, composite_pairs
+
+    T = cfg.tile
+    P = T * T
+    feat9 = _pair_features(proj, colors, jnp.float32)
+    n = feat9.shape[0]
+    feat = jnp.concatenate(
+        [feat9, jnp.zeros((n, FEAT_WIDTH - feat9.shape[1]), jnp.float32)],
+        axis=-1,
+    )[binning.depth_order]
+    s_idx = binning.pair_slot
+    pair_feat = feat[jnp.clip(s_idx, 0, n - 1)]
+    pair_feat = jnp.where(s_idx[:, None] >= 0, pair_feat, 0.0)
+
+    out = composite_pairs(
+        pair_feat, binning.block_tile, binning.block_first, cfg
+    )  # [num_tiles, 8, P]
+
+    # Tiles with no pairs own no block and are never written: mask them.
+    occupied = (binning.tile_count > 0)[:, None, None]
+    tiles_rgb = jnp.where(occupied, out[:, 0:3, :], 0.0)  # [num_tiles, 3, P]
+
+    img = tiles_rgb.reshape(cfg.tiles_y, cfg.tiles_x, 3, T, T)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
+        cfg.padded_height, cfg.padded_width, 3
+    )
+    img = img[: cfg.height, : cfg.width]
+    img = jnp.clip(img, 0.0, 1.0)
+
+    aux = RenderAux(
+        num_pairs=binning.num_pairs,
+        pair_capacity=cfg.max_pairs,
+        max_tile_count=jnp.max(binning.tile_count),
+        per_tile_capacity=cfg.padded_pairs,
+    )
+    return img, aux
+
+
+def rasterize_binned(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    binning: TileBinning,
+    cfg: RenderConfig,
+):
+    """Backend-dispatching rasterizer: Pallas kernel or XLA fallback."""
+    backend = cfg.backend
+    if backend == "auto":
+        # Pallas on TPU; XLA fallback elsewhere (interpret-mode Pallas is
+        # only for small kernel-parity tests — it walks the grid in python).
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        return rasterize_binned_pallas(proj, colors, binning, cfg)
+    return rasterize_binned_xla(proj, colors, binning, cfg)
 
 
 def rasterize(proj: ProjectedGaussians, colors: jnp.ndarray, cfg: RenderConfig):
