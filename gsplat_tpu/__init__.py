@@ -29,3 +29,13 @@ from .ops import (  # noqa: F401
 from .render import render, render_from_params  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy submodule access (keeps `import gsplat_tpu` light; data/viewer
+    # pull PIL and other host-side deps only when used).
+    if name in ("data", "viewer", "models", "train", "parallel", "ops"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

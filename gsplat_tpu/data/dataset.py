@@ -1,0 +1,171 @@
+"""Training dataset: images + camera poses + intrinsics.
+
+Reference counterpart: /root/reference/gaussian_splatting/data_loader.py:153-284
+(`GaussianDataset`). Same on-disk layout:
+
+    data_dir/
+      images/          *.jpg / *.png
+      cam_meta.npy     dict: fx, fy [, cx, cy, height, width, c2w]
+      poses.npy        [N, 4, 4] camera-to-world (optional; falls back to
+                       cam_meta['c2w'], then identity)
+      pointcloud.ply   initialization cloud (consumed by the trainer)
+
+TPU-first differences from the reference:
+* everything is host numpy — tensors cross to device as whole batches;
+* XLA wants STATIC shapes, so all views are standardized to one (H, W) at
+  load (the reference lets each view differ and re-traces per shape);
+* `batches()` yields fixed-size stacked view batches ready for the sharded
+  train step (leading axis = views, shardable over the mesh 'data' axis).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+from .images import list_images, load_image
+
+
+def load_camera_parameters(cam_meta_path: str) -> dict:
+    """Load the cam_meta.npy dict (reference data_loader.py:30-47)."""
+    return np.load(cam_meta_path, allow_pickle=True).item()
+
+
+class GaussianDataset:
+    """Posed multi-view image dataset with lazily cached, rescaled views."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        image_dir: str = "images",
+        cam_meta_path: str | None = None,
+        scale_factor: float = 0.5,
+        cache: bool = True,
+    ):
+        self.data_dir = data_dir
+        self.image_paths = list_images(os.path.join(data_dir, image_dir))
+        if not self.image_paths:
+            raise ValueError(f"no images under {data_dir}/{image_dir}")
+        self.scale_factor = float(scale_factor)
+        if cam_meta_path is None:
+            cam_meta_path = os.path.join(data_dir, "cam_meta.npy")
+        self.cam_params = load_camera_parameters(cam_meta_path)
+        self.c2w = self._load_poses()
+        self._cache: dict[int, np.ndarray] | None = {} if cache else None
+
+        # Standardize geometry from the first view (static shapes for XLA).
+        first = self._load_view_image(0)
+        self.height, self.width = first.shape[:2]
+        if self._cache is not None:
+            self._cache[0] = first
+
+        s = self.scale_factor
+        self.fx = float(self.cam_params["fx"]) * s
+        self.fy = float(self.cam_params["fy"]) * s
+        if "cx" in self.cam_params and "cy" in self.cam_params:
+            self.cx = float(self.cam_params["cx"]) * s
+            self.cy = float(self.cam_params["cy"]) * s
+        else:
+            # Reference default: principal point at image center
+            # (data_loader.py:270-276).
+            self.cx = self.width / 2.0
+            self.cy = self.height / 2.0
+
+    def _load_poses(self) -> np.ndarray:
+        """poses.npy, else cam_meta['c2w'], else identity (data_loader.py:196-216)."""
+        n = len(self.image_paths)
+        pose_file = os.path.join(self.data_dir, "poses.npy")
+        if os.path.exists(pose_file):
+            poses = np.asarray(np.load(pose_file), np.float32)
+        elif "c2w" in self.cam_params:
+            poses = np.asarray(self.cam_params["c2w"], np.float32)
+        else:
+            poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        if poses.shape[0] < n:
+            raise ValueError(
+                f"{poses.shape[0]} poses for {n} images in {self.data_dir}"
+            )
+        return poses[:n]
+
+    def _load_view_image(self, idx: int) -> np.ndarray:
+        img = load_image(self.image_paths[idx], self.scale_factor)
+        return img
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        """One view: image [H, W, 3] f32 in [0,1] + camera, all numpy."""
+        if self._cache is not None and idx in self._cache:
+            img = self._cache[idx]
+        else:
+            img = self._load_view_image(idx)
+            if img.shape[:2] != (self.height, self.width):
+                img = _crop_or_pad(img, self.height, self.width)
+            if self._cache is not None:
+                self._cache[idx] = img
+        return {
+            "image": img,
+            "c2w": self.c2w[idx],
+            "fx": np.float32(self.fx),
+            "fy": np.float32(self.fy),
+            "cx": np.float32(self.cx),
+            "cy": np.float32(self.cy),
+            "H": self.height,
+            "W": self.width,
+            "idx": idx,
+        }
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+    ) -> Iterator[dict]:
+        """Endless iterator of stacked fixed-size view batches.
+
+        Each batch is a dict of arrays with leading axis `batch_size`:
+        image [B,H,W,3], c2w [B,4,4], fx/fy/cx/cy [B]. Fixed shape so the
+        jitted (and sharded) train step compiles exactly once; batches wrap
+        around epochs like the reference's re-initialized DataLoader
+        iterator (train.py:410-414).
+        """
+        rng = np.random.default_rng(seed)
+        n = len(self)
+        order = np.arange(n)
+        pos = n  # trigger reshuffle on first call
+        while True:
+            out = []
+            while len(out) < batch_size:
+                if pos >= n:
+                    if shuffle:
+                        rng.shuffle(order)
+                    pos = 0
+                out.append(self[int(order[pos])])
+                pos += 1
+            yield {
+                "image": np.stack([v["image"] for v in out]),
+                "c2w": np.stack([v["c2w"] for v in out]),
+                "fx": np.asarray([v["fx"] for v in out], np.float32),
+                "fy": np.asarray([v["fy"] for v in out], np.float32),
+                "cx": np.asarray([v["cx"] for v in out], np.float32),
+                "cy": np.asarray([v["cy"] for v in out], np.float32),
+            }
+
+    def pointcloud_path(self) -> str | None:
+        for name in ("pointcloud.ply", "points.ply", "pointcloud.npy"):
+            p = os.path.join(self.data_dir, name)
+            if os.path.exists(p):
+                return p
+        return None
+
+
+def _crop_or_pad(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Force an image to (h, w): crop overflow, zero-pad shortfall."""
+    out = np.zeros((h, w, 3), np.float32)
+    ch = min(h, img.shape[0])
+    cw = min(w, img.shape[1])
+    out[:ch, :cw] = img[:ch, :cw]
+    return out

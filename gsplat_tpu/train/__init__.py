@@ -10,5 +10,7 @@ from .trainer import (  # noqa: F401
     make_train_step,
     opacity_raise_step,
     position_lr,
+    restore_pool,
     save_checkpoint,
 )
+from .fit import FitReport, fit  # noqa: F401

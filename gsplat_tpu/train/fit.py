@@ -1,0 +1,211 @@
+"""Host-side training driver: the loop that glues dataset, jitted train
+step, ADC schedule, opacity raises, checkpointing and metrics logging.
+
+Reference counterpart: scripts/train.py:222-604 `train()`. Differences by
+design (all TPU-first):
+* ONE compiled train step for the whole run (fixed-capacity pool; the
+  reference rebuilds the optimizer and re-traces on every densification);
+* ADC runs on-device as a second jitted step on the schedule boundaries;
+* pos-gradient statistics for ADC come from the train step's returned
+  gradient (the reference reads .grad off the parameter tensor);
+* checkpoints include optimizer state (reference loses Adam moments);
+* optional multi-device SPMD via a mesh (data x tile axes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig, TrainConfig
+from ..models.gaussians import GaussianPool, init_pool_from_points
+from .trainer import (
+    TrainState,
+    adc_step,
+    init_train_state,
+    load_checkpoint,
+    make_train_step,
+    opacity_raise_step,
+    save_checkpoint,
+)
+
+
+@dataclass
+class FitReport:
+    """Summary of a fit() run (losses are host floats)."""
+
+    iterations: int = 0
+    final_loss: float = float("nan")
+    losses: list = field(default_factory=list)
+    num_gaussians: int = 0
+    checkpoints: list = field(default_factory=list)
+    wall_time_s: float = 0.0
+    overflow_events: int = 0
+
+
+def fit(
+    dataset,
+    render_cfg: RenderConfig,
+    train_cfg: TrainConfig,
+    output_dir: str | None = None,
+    initial_points: np.ndarray | None = None,
+    resume_from: str | None = None,
+    mesh: jax.sharding.Mesh | None = None,
+    log_every: int = 50,
+    log_fn: Callable[[str], None] = print,
+    seed: int = 0,
+) -> tuple[TrainState, FitReport]:
+    """Train a Gaussian pool on a dataset. Returns (state, report).
+
+    Args:
+        dataset: anything with .batches(batch_size) -> iterator of stacked
+            view dicts (see data/dataset.py), or such an iterator directly.
+        initial_points: [N, 3|6] cloud; defaults to the dataset's
+            pointcloud.ply, else a random cloud like reference
+            train.py:351-370.
+        mesh: optional device mesh; enables the SPMD train step.
+    """
+    t0 = time.time()
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+
+    # --- initialization cloud (train.py:341-370) ---
+    if initial_points is None:
+        pc_path = getattr(dataset, "pointcloud_path", lambda: None)()
+        if pc_path:
+            from ..data.pointcloud import load_point_cloud
+
+            initial_points = load_point_cloud(pc_path)
+            log_fn(f"init from {pc_path}: {initial_points.shape[0]} points")
+        else:
+            rng = np.random.default_rng(seed)
+            pts = rng.normal(0.0, 1.5, (10_000, 3))
+            pts[:, 2] += 4.0
+            initial_points = pts.astype(np.float32)
+            log_fn("no point cloud found; random 10k-point init")
+
+    if initial_points.shape[0] > train_cfg.capacity:
+        rng = np.random.default_rng(seed)
+        keep = rng.choice(
+            initial_points.shape[0], train_cfg.capacity // 2, replace=False
+        )
+        initial_points = initial_points[keep]
+        log_fn(
+            f"subsampled init cloud to {initial_points.shape[0]} "
+            f"(capacity {train_cfg.capacity})"
+        )
+
+    pool = init_pool_from_points(
+        initial_points, capacity=train_cfg.capacity, seed=seed
+    )
+    state = init_train_state(pool, train_cfg)
+
+    if resume_from:
+        state = load_checkpoint(resume_from, state)
+        log_fn(f"resumed from {resume_from} at step {int(state.step)}")
+
+    # --- compiled step ---
+    if mesh is not None:
+        from ..parallel.sharding import make_sharded_train_step
+
+        step_fn = make_sharded_train_step(render_cfg, train_cfg, mesh)
+    else:
+        step_fn = make_train_step(render_cfg, train_cfg)
+
+    batches = (
+        dataset
+        if hasattr(dataset, "__next__")
+        else dataset.batches(train_cfg.batch_size, seed=seed)
+    )
+
+    report = FitReport()
+    key = jax.random.PRNGKey(seed)
+    # Accumulated position-gradient magnitudes between ADC boundaries; the
+    # reference uses the gradient at the densification step only
+    # (train.py:543-553) — an EMA over the interval is strictly more stable.
+    pos_grad_accum = None
+    start = int(state.step)
+    log_fn(
+        f"training: {train_cfg.iterations} iters, batch "
+        f"{train_cfg.batch_size}, capacity {train_cfg.capacity}, "
+        f"{render_cfg.width}x{render_cfg.height}"
+    )
+
+    for it in range(start + 1, train_cfg.iterations + 1):
+        batch = next(batches)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch)
+
+        g = metrics["pos_grad"]
+        pos_grad_accum = g if pos_grad_accum is None else (
+            0.5 * pos_grad_accum + 0.5 * g
+        )
+
+        if it % log_every == 0 or it == train_cfg.iterations:
+            loss = float(metrics["total"])
+            report.losses.append((it, loss))
+            n_alive = int(state.pool.num_alive())
+            log_fn(
+                f"iter {it:6d}  loss {loss:.5f}  l1 {float(metrics['l1']):.5f}"
+                f"  ssim {float(metrics['ssim']):.5f}  gaussians {n_alive}"
+            )
+
+        # --- ADC schedule (train.py:543-574) ---
+        if (
+            it % train_cfg.densification_interval == 0
+            and it < train_cfg.densify_until_iter
+        ):
+            key, sub = jax.random.split(key)
+            state, adc_result = adc_step(
+                state,
+                pos_grad_accum,
+                sub,
+                (
+                    train_cfg.prune_opacity_threshold,
+                    train_cfg.max_grad,
+                    train_cfg.scale_threshold,
+                ),
+            )
+            pos_grad_accum = None
+            overflow = int(adc_result.num_overflowed)
+            if overflow:
+                report.overflow_events += 1
+                log_fn(
+                    f"iter {it}: ADC overflow, {overflow} spawns dropped "
+                    f"(pool capacity {train_cfg.capacity})"
+                )
+
+        if it % train_cfg.opacity_reset_interval == 0:
+            state = opacity_raise_step(state)
+
+        if output_dir and it % train_cfg.checkpoint_interval == 0:
+            path = os.path.join(output_dir, f"checkpoint_{it:06d}.npz")
+            save_checkpoint(path, state)
+            report.checkpoints.append(path)
+
+    if output_dir:
+        path = os.path.join(output_dir, "checkpoint_final.npz")
+        save_checkpoint(path, state)
+        report.checkpoints.append(path)
+        with open(os.path.join(output_dir, "train_log.json"), "w") as f:
+            json.dump(
+                {
+                    "losses": report.losses,
+                    "iterations": train_cfg.iterations,
+                    "overflow_events": report.overflow_events,
+                },
+                f,
+            )
+
+    report.iterations = train_cfg.iterations
+    report.final_loss = report.losses[-1][1] if report.losses else float("nan")
+    report.num_gaussians = int(state.pool.num_alive())
+    report.wall_time_s = time.time() - t0
+    return state, report

@@ -216,31 +216,49 @@ def opacity_raise_step(state: TrainState) -> TrainState:
 
 
 def save_checkpoint(path, state: TrainState):
-    """Single-file .npz checkpoint (flat key/value)."""
-    flat, treedef = jax.tree.flatten(
-        {"params": state.pool.params, "alive": state.pool.alive,
-         "opt_state": state.opt_state, "step": state.step}
-    )
+    """Single-file .npz checkpoint: named params/alive/step + flat opt leaves.
+
+    Unlike the reference (train.py:197-208), optimizer state IS saved, so
+    resume keeps Adam moments (SURVEY §5.4 gap). Parameters are stored under
+    stable names so inference tools can load a pool without knowing the
+    optimizer tree (see `restore_pool`).
+    """
+    opt_leaves = jax.tree.leaves(state.opt_state)
     np.savez(
         path,
-        __num_leaves__=len(flat),
-        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
+        __step__=np.asarray(state.step),
+        __alive__=np.asarray(state.pool.alive),
+        __num_opt_leaves__=len(opt_leaves),
+        **{f"param_{k}": np.asarray(v) for k, v in state.pool.params.items()},
+        **{f"opt_{i}": np.asarray(x) for i, x in enumerate(opt_leaves)},
     )
+
+
+def restore_pool(path) -> GaussianPool:
+    """Load only the Gaussian pool (params + alive) from a checkpoint."""
+    data = np.load(path)
+    params = {
+        k[len("param_"):]: jnp.asarray(data[k])
+        for k in data.files
+        if k.startswith("param_")
+    }
+    return GaussianPool(params=params, alive=jnp.asarray(data["__alive__"]))
 
 
 def load_checkpoint(path, state: TrainState) -> TrainState:
     """Restore into an existing (matching-capacity) state."""
     data = np.load(path)
-    template = {"params": state.pool.params, "alive": state.pool.alive,
-                "opt_state": state.opt_state, "step": state.step}
-    flat, treedef = jax.tree.flatten(template)
-    n = int(data["__num_leaves__"])
-    if n != len(flat):
-        raise ValueError(f"checkpoint has {n} leaves, expected {len(flat)}")
-    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
-    restored = jax.tree.unflatten(treedef, leaves)
+    pool = restore_pool(path)
+    treedef = jax.tree.structure(state.opt_state)
+    n = int(data["__num_opt_leaves__"])
+    if n != treedef.num_leaves:
+        raise ValueError(
+            f"checkpoint has {n} optimizer leaves, expected "
+            f"{treedef.num_leaves} (optimizer config changed?)"
+        )
+    opt_leaves = [jnp.asarray(data[f"opt_{i}"]) for i in range(n)]
     return TrainState(
-        pool=GaussianPool(params=restored["params"], alive=restored["alive"]),
-        opt_state=restored["opt_state"],
-        step=restored["step"],
+        pool=pool,
+        opt_state=jax.tree.unflatten(treedef, opt_leaves),
+        step=jnp.asarray(data["__step__"]),
     )

@@ -1,0 +1,188 @@
+"""Inference-time rendering: orbit trajectories, FPS benchmarking, video.
+
+Reference counterpart: /root/reference/scripts/render_trained.py
+(look-at orbit generation :28-75, scene center/radius estimation :237-309,
+timed render loop :319-381, video export :395-476) and scripts/inference.py
+(trajectory rendering :39-119).
+
+Camera convention matches the reference: look-at with forward = normalize
+(target - pos), right = normalize(forward x up), camera y = -up (the
+reference flips up so images are not vertically mirrored,
+render_trained.py:69).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import time
+
+import numpy as np
+
+from .config import RenderConfig
+
+
+def look_at(position: np.ndarray, target: np.ndarray,
+            up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """c2w [4, 4] for a camera at `position` looking at `target`."""
+    position = np.asarray(position, np.float64)
+    forward = np.asarray(target, np.float64) - position
+    forward = forward / (np.linalg.norm(forward) + 1e-12)
+    up = np.asarray(up, np.float64)
+    right = np.cross(forward, up)
+    right = right / (np.linalg.norm(right) + 1e-12)
+    cam_up = np.cross(right, forward)
+    c2w = np.eye(4)
+    # Column convention: x = right, y = -up, z = forward (reference :60-70).
+    c2w[:3, 0] = right
+    c2w[:3, 1] = -cam_up
+    c2w[:3, 2] = forward
+    c2w[:3, 3] = position
+    return c2w.astype(np.float32)
+
+
+def create_orbit_trajectory(
+    center: np.ndarray,
+    radius: float,
+    num_frames: int = 120,
+    elevation_deg: float = 15.0,
+    up=(0.0, 1.0, 0.0),
+) -> np.ndarray:
+    """[K, 4, 4] c2w poses orbiting `center` (reference :28-75)."""
+    center = np.asarray(center, np.float64)
+    elev = np.deg2rad(elevation_deg)
+    poses = []
+    for i in range(num_frames):
+        th = 2.0 * np.pi * i / num_frames
+        offset = radius * np.array(
+            [np.cos(th) * np.cos(elev), np.sin(elev), np.sin(th) * np.cos(elev)]
+        )
+        poses.append(look_at(center + offset, center, up))
+    return np.stack(poses)
+
+
+def estimate_scene_center_radius(
+    c2w_matrices: np.ndarray | None = None,
+    positions: np.ndarray | None = None,
+    look_distance: float = 5.0,
+) -> tuple[np.ndarray, float]:
+    """Scene center + orbit radius (reference :237-309).
+
+    Primary: training cameras — each camera 'looks at' pos + forward *
+    look_distance; center is the mean look-at point, radius = 1.2 x camera
+    spread clamped to [3, 20]. Fallback: gaussian position statistics.
+    """
+    if c2w_matrices is not None and len(c2w_matrices) > 0:
+        c2w = np.asarray(c2w_matrices, np.float64)
+        cam_pos = c2w[:, :3, 3]
+        forward = c2w[:, :3, 2]
+        lookats = cam_pos + forward * look_distance
+        center = lookats.mean(axis=0)
+        spread = np.linalg.norm(cam_pos - cam_pos.mean(axis=0), axis=1).max()
+        radius = float(np.clip(1.2 * spread, 3.0, 20.0))
+        return center.astype(np.float32), radius
+    if positions is not None and len(positions) > 0:
+        pts = np.asarray(positions, np.float64)
+        center = np.median(pts, axis=0)
+        r = np.linalg.norm(pts - center, axis=1)
+        radius = float(np.clip(1.5 * np.percentile(r, 90.0), 3.0, 20.0))
+        return center.astype(np.float32), radius
+    return np.zeros(3, np.float32), 5.0
+
+
+def render_trajectory(
+    render_fn,
+    trajectory: np.ndarray,
+    benchmark: bool = True,
+    warmup: int = 1,
+):
+    """Render every pose; returns (frames uint8 list, stats dict).
+
+    `render_fn(c2w) -> [H, W, 3] float image` should be a jitted closure.
+    Timing synchronizes on device completion per frame like the reference's
+    cuda.synchronize loop (:319-358).
+    """
+    import jax
+
+    frames = []
+    times = []
+    for i in range(min(warmup, len(trajectory))):
+        out = render_fn(np.asarray(trajectory[i]))
+        jax.block_until_ready(out)
+    for c2w in trajectory:
+        t0 = time.perf_counter()
+        img = render_fn(np.asarray(c2w))
+        jax.block_until_ready(img)
+        times.append(time.perf_counter() - t0)
+        frames.append(
+            (np.clip(np.asarray(img), 0, 1) * 255.0 + 0.5).astype(np.uint8)
+        )
+    times_ms = np.asarray(times) * 1e3
+    stats = {
+        "frames": len(frames),
+        "mean_ms": float(times_ms.mean()),
+        "median_ms": float(np.median(times_ms)),
+        "min_ms": float(times_ms.min()),
+        "max_ms": float(times_ms.max()),
+        "std_ms": float(times_ms.std()),
+        "fps": float(1e3 / times_ms.mean()),
+    } if benchmark and times else {}
+    return frames, stats
+
+
+def save_video(
+    frames: list,
+    path: str,
+    fps: int = 30,
+    frames_dir: str | None = None,
+) -> str:
+    """Write frames to video via imageio, falling back to ffmpeg over PNG
+    frames, falling back to the PNG directory itself (reference :395-476)."""
+    from .data.images import save_image
+
+    if frames_dir is None:
+        frames_dir = os.path.splitext(path)[0] + "_frames"
+    os.makedirs(frames_dir, exist_ok=True)
+    for i, frame in enumerate(frames):
+        save_image(os.path.join(frames_dir, f"frame_{i:05d}.png"), frame)
+
+    try:
+        import imageio.v2 as imageio
+
+        with imageio.get_writer(path, fps=fps) as writer:
+            for frame in frames:
+                writer.append_data(frame)
+        return path
+    except Exception:
+        pass
+    try:
+        subprocess.run(
+            [
+                "ffmpeg", "-y", "-framerate", str(fps),
+                "-i", os.path.join(frames_dir, "frame_%05d.png"),
+                "-pix_fmt", "yuv420p", path,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return path
+    except Exception:
+        return frames_dir  # PNGs remain available
+
+
+def make_render_fn(params: dict, cfg: RenderConfig, fx, fy, cx, cy,
+                   alive=None):
+    """Jitted c2w -> image closure over fixed params/intrinsics."""
+    import jax
+    import jax.numpy as jnp
+
+    from .render import render_from_params
+
+    @jax.jit
+    def fn(c2w):
+        img, _ = render_from_params(
+            params, jnp.asarray(c2w), fx, fy, cx, cy, cfg, alive=alive
+        )
+        return img
+
+    return fn

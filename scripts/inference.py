@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Render novel views along a precomputed [K, 4, 4] trajectory.
+
+CLI counterpart of /root/reference/scripts/inference.py:122-165. The
+trajectory is a .npy/.npz/.pt array of camera-to-world matrices; frames are
+written as PNGs.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def load_trajectory(path: str) -> np.ndarray:
+    if path.endswith(".pt"):
+        import torch
+
+        t = torch.load(path, map_location="cpu", weights_only=True)
+        traj = np.asarray(t, np.float32)
+    elif path.endswith(".npz"):
+        data = np.load(path)
+        traj = data[list(data.keys())[0]].astype(np.float32)
+    else:
+        traj = np.load(path).astype(np.float32)
+    if traj.ndim != 3 or traj.shape[1:] != (4, 4):
+        raise ValueError(f"trajectory must be [K, 4, 4], got {traj.shape}")
+    return traj
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--trajectory", required=True,
+                   help="[K, 4, 4] c2w array (.npy/.npz/.pt)")
+    p.add_argument("--output_dir", default="novel_views")
+    p.add_argument("--data_dir", default=None,
+                   help="dataset dir for intrinsics")
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--scale_factor", type=float, default=0.5,
+                   help="resolution divisor applied to dataset intrinsics")
+    p.add_argument("--max_pairs", type=int, default=2**21)
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "pallas", "xla"))
+    args = p.parse_args()
+
+    from render_trained import load_params, resolve_checkpoint
+
+    from gsplat_tpu import RenderConfig
+    from gsplat_tpu.data.images import save_image
+    from gsplat_tpu.viewer import make_render_fn
+
+    params, alive = load_params(resolve_checkpoint(args.checkpoint))
+    traj = load_trajectory(args.trajectory)
+
+    if args.data_dir:
+        from gsplat_tpu.data import GaussianDataset
+
+        ds = GaussianDataset(args.data_dir, scale_factor=args.scale_factor)
+        H, W, fx, fy, cx, cy = ds.height, ds.width, ds.fx, ds.fy, ds.cx, ds.cy
+    else:
+        H = args.height or 720
+        W = args.width or 1280
+        fx = fy = 0.85 * W
+        cx, cy = W / 2.0, H / 2.0
+    if args.height:
+        H = args.height
+    if args.width:
+        W = args.width
+
+    cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
+                       backend=args.backend)
+    render_fn = make_render_fn(params, cfg, fx, fy, cx, cy, alive=alive)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i, c2w in enumerate(traj):
+        img = np.asarray(render_fn(c2w))
+        save_image(os.path.join(args.output_dir, f"view_{i:05d}.png"), img)
+    print(f"rendered {len(traj)} views to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

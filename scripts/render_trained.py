@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Render a trained model: training views, an orbit video, FPS benchmark.
+
+CLI counterpart of /root/reference/scripts/render_trained.py:479-518.
+Checkpoints are the trainer's .npz pool files; legacy six-tensor .pt
+checkpoints from the reference are also accepted (torch cpu load).
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def resolve_checkpoint(path_or_dir: str) -> str:
+    """final > explicit file > latest iteration (reference :117-161)."""
+    if os.path.isfile(path_or_dir):
+        return path_or_dir
+    final = os.path.join(path_or_dir, "checkpoint_final.npz")
+    if os.path.exists(final):
+        return final
+    cands = sorted(glob.glob(os.path.join(path_or_dir, "checkpoint_*.npz")))
+    if cands:
+        return cands[-1]
+    raise FileNotFoundError(f"no checkpoint under {path_or_dir}")
+
+
+def load_params(path: str):
+    """Load (params dict, alive mask) from .npz pool or legacy .pt files."""
+    import jax.numpy as jnp
+
+    if path.endswith(".npz"):
+        from gsplat_tpu.models.gaussians import GaussianPool
+        from gsplat_tpu.train.trainer import restore_pool
+
+        pool = restore_pool(path)
+        return pool.params, pool.alive
+    # Legacy reference format: six individual .pt tensors in one dir.
+    import torch
+
+    d = os.path.dirname(path) if os.path.isfile(path) else path
+    names = {
+        "pos": "positions.pt", "scale_raw": "scales.pt",
+        "q_raw": "rotations.pt", "opacity_raw": "opacities.pt",
+        "f_dc": "features_dc.pt", "f_rest": "features_rest.pt",
+    }
+    params = {}
+    for k, fn in names.items():
+        t = torch.load(os.path.join(d, fn), map_location="cpu",
+                       weights_only=True)
+        params[k] = jnp.asarray(np.asarray(t, np.float32))
+    return params, None
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True,
+                   help=".npz checkpoint file or output dir")
+    p.add_argument("--data_dir", default=None,
+                   help="dataset dir (for camera intrinsics + orbit center)")
+    p.add_argument("--output_dir", default="renders")
+    p.add_argument("--num_frames", type=int, default=120)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--scale_factor", type=float, default=1.0)
+    p.add_argument("--elevation", type=float, default=15.0)
+    p.add_argument("--fps", type=int, default=30)
+    p.add_argument("--max_pairs", type=int, default=2**21)
+    p.add_argument("--benchmark_only", action="store_true",
+                   help="skip image/video IO, print FPS stats only")
+    p.add_argument("--render_training_views", action="store_true")
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "pallas", "xla"))
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig
+    from gsplat_tpu.viewer import (
+        create_orbit_trajectory,
+        estimate_scene_center_radius,
+        make_render_fn,
+        render_trajectory,
+        save_video,
+    )
+
+    ckpt = resolve_checkpoint(args.checkpoint)
+    print(f"checkpoint: {ckpt}")
+    params, alive = load_params(ckpt)
+    n = params["pos"].shape[0]
+    n_alive = int(np.asarray(alive).sum()) if alive is not None else n
+    print(f"{n_alive} gaussians (pool capacity {n})")
+
+    # Camera: dataset intrinsics when available, else a generic pinhole.
+    c2ws = None
+    if args.data_dir:
+        from gsplat_tpu.data import GaussianDataset
+
+        ds = GaussianDataset(args.data_dir, scale_factor=args.scale_factor)
+        H, W = ds.height, ds.width
+        fx, fy, cx, cy = ds.fx, ds.fy, ds.cx, ds.cy
+        c2ws = ds.c2w
+    else:
+        H = args.height or 1080
+        W = args.width or 1920
+        fx = fy = 0.85 * W
+        cx, cy = W / 2.0, H / 2.0
+    if args.height:
+        H = args.height
+    if args.width:
+        W = args.width
+
+    cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
+                       backend=args.backend)
+    render_fn = make_render_fn(params, cfg, fx, fy, cx, cy, alive=alive)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.render_training_views and c2ws is not None:
+        from gsplat_tpu.data.images import save_image
+
+        for i, c2w in enumerate(c2ws[:10]):
+            img = np.asarray(render_fn(c2w))
+            save_image(
+                os.path.join(args.output_dir, f"train_view_{i:03d}.png"), img
+            )
+        print(f"rendered {min(len(c2ws), 10)} training views")
+
+    center, radius = estimate_scene_center_radius(
+        c2w_matrices=c2ws,
+        positions=np.asarray(params["pos"])[: n_alive],
+    )
+    print(f"orbit: center {np.round(center, 2)}, radius {radius:.2f}")
+    traj = create_orbit_trajectory(
+        center, radius, num_frames=args.num_frames,
+        elevation_deg=args.elevation,
+    )
+
+    frames, stats = render_trajectory(render_fn, traj)
+    print(
+        f"FPS: {stats['fps']:.2f}  (mean {stats['mean_ms']:.2f} ms, "
+        f"median {stats['median_ms']:.2f}, min {stats['min_ms']:.2f}, "
+        f"max {stats['max_ms']:.2f}, std {stats['std_ms']:.2f})"
+    )
+
+    if not args.benchmark_only:
+        video = save_video(
+            frames, os.path.join(args.output_dir, "orbit.mp4"), fps=args.fps
+        )
+        print(f"video/frames: {video}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Train a 3D Gaussian Splatting scene on TPU.
+
+CLI counterpart of /root/reference/scripts/train.py:607-642, driving the
+TPU-native trainer (gsplat_tpu/train/fit.py). Multi-device SPMD is enabled
+with --mesh_data / --mesh_tile (the reference's --num_gpus flag is
+non-functional, SURVEY.md P1).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", required=True, help="prepared dataset dir")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--iterations", type=int, default=30000)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--scale_factor", type=float, default=0.5,
+                   help="image resolution multiplier (0.5 = half size)")
+    p.add_argument("--capacity", type=int, default=2**17,
+                   help="gaussian pool capacity (static; ADC grows into it)")
+    p.add_argument("--max_pairs", type=int, default=2**21)
+    p.add_argument("--sh_bands", type=int, default=3, choices=(0, 1, 2, 3))
+    p.add_argument("--position_lr_init", type=float, default=0.00016)
+    p.add_argument("--position_lr_final", type=float, default=0.0000016)
+    p.add_argument("--feature_lr", type=float, default=0.0025)
+    p.add_argument("--opacity_lr", type=float, default=0.05)
+    p.add_argument("--scaling_lr", type=float, default=0.005)
+    p.add_argument("--rotation_lr", type=float, default=0.001)
+    p.add_argument("--lambda_l1", type=float, default=0.8)
+    p.add_argument("--lambda_ssim", type=float, default=0.2)
+    p.add_argument("--densification_interval", type=int, default=100)
+    p.add_argument("--densify_until_iter", type=int, default=15000)
+    p.add_argument("--opacity_reset_interval", type=int, default=3000)
+    p.add_argument("--checkpoint_interval", type=int, default=1000)
+    p.add_argument("--resume_from", default=None)
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "pallas", "xla"))
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="devices along the data (view) mesh axis")
+    p.add_argument("--mesh_tile", type=int, default=1,
+                   help="devices along the tile (image band) mesh axis")
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+
+    from gsplat_tpu import RenderConfig, TrainConfig
+    from gsplat_tpu.data import GaussianDataset
+    from gsplat_tpu.train.fit import fit
+
+    dataset = GaussianDataset(args.data_dir, scale_factor=args.scale_factor)
+    print(
+        f"dataset: {len(dataset)} views at {dataset.width}x{dataset.height}, "
+        f"fx={dataset.fx:.1f}"
+    )
+
+    render_cfg = RenderConfig(
+        height=dataset.height,
+        width=dataset.width,
+        max_pairs=args.max_pairs,
+        backend=args.backend,
+    )
+    train_cfg = TrainConfig(
+        iterations=args.iterations,
+        batch_size=args.batch_size,
+        capacity=args.capacity,
+        position_lr_init=args.position_lr_init,
+        position_lr_final=args.position_lr_final,
+        position_lr_max_steps=args.iterations,
+        feature_lr=args.feature_lr,
+        opacity_lr=args.opacity_lr,
+        scaling_lr=args.scaling_lr,
+        rotation_lr=args.rotation_lr,
+        lambda_l1=args.lambda_l1,
+        lambda_ssim=args.lambda_ssim,
+        densification_interval=args.densification_interval,
+        densify_until_iter=args.densify_until_iter,
+        opacity_reset_interval=args.opacity_reset_interval,
+        checkpoint_interval=args.checkpoint_interval,
+    )
+
+    mesh = None
+    n_mesh = args.mesh_data * args.mesh_tile
+    if n_mesh > 1:
+        from gsplat_tpu.parallel import make_mesh
+
+        mesh = make_mesh(
+            n_devices=n_mesh, data=args.mesh_data, tile=args.mesh_tile
+        )
+        print(f"mesh: data={args.mesh_data} x tile={args.mesh_tile} over "
+              f"{len(jax.devices())} devices")
+
+    state, report = fit(
+        dataset,
+        render_cfg,
+        train_cfg,
+        output_dir=args.output_dir,
+        resume_from=args.resume_from,
+        mesh=mesh,
+        log_every=args.log_every,
+        seed=args.seed,
+    )
+    print(
+        f"done: {report.iterations} iters in {report.wall_time_s:.1f}s, "
+        f"final loss {report.final_loss:.5f}, "
+        f"{report.num_gaussians} gaussians, "
+        f"checkpoints in {args.output_dir}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""Data/IO layer tests: PLY roundtrip, COLMAP binary parsers, dataset
+loading, poses_bounds parsing, checkpoint roundtrip (SURVEY §2 C7/C12/C13)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from gsplat_tpu.data.colmap import (
+    colmap_pose_to_c2w,
+    pinhole_intrinsics,
+    qvec_wxyz_to_rotmat,
+    read_cameras_binary,
+    read_images_binary,
+    read_points3d_binary,
+)
+from gsplat_tpu.data.dataset import GaussianDataset
+from gsplat_tpu.data.images import load_image, save_image
+from gsplat_tpu.data.mipnerf import load_poses_bounds
+from gsplat_tpu.data.pointcloud import (
+    filter_outliers,
+    load_point_cloud,
+    read_ply,
+    write_ply,
+)
+
+
+def test_ply_roundtrip_binary(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [rng.normal(0, 1, (100, 3)), rng.uniform(0, 1, (100, 3))], axis=-1
+    ).astype(np.float32)
+    path = str(tmp_path / "cloud.ply")
+    write_ply(path, pts, binary=True)
+    back = read_ply(path)
+    np.testing.assert_allclose(back[:, :3], pts[:, :3], atol=1e-6)
+    np.testing.assert_allclose(back[:, 3:], pts[:, 3:], atol=1 / 255.0)
+
+
+def test_ply_roundtrip_ascii(tmp_path):
+    rng = np.random.default_rng(1)
+    pts = rng.normal(0, 2, (50, 3)).astype(np.float32)
+    path = str(tmp_path / "cloud_ascii.ply")
+    write_ply(path, pts, binary=False)
+    back = read_ply(path)
+    np.testing.assert_allclose(back, pts, rtol=1e-5)
+
+
+def test_outlier_filter():
+    pts = np.array(
+        [[0, 0, 0], [1, 1, 1], [np.nan, 0, 0], [5000, 0, 0], [0.5, 0.2, 0.1]],
+        np.float32,
+    )
+    out = filter_outliers(pts)
+    assert out.shape[0] == 3  # NaN and ±1000-bound rows dropped
+
+
+def test_load_point_cloud_npy(tmp_path):
+    pts = np.random.default_rng(2).normal(0, 1, (64, 3)).astype(np.float32)
+    path = str(tmp_path / "pc.npy")
+    np.save(path, pts)
+    out = load_point_cloud(path)
+    assert out.shape[1] == 3 and out.shape[0] >= 60
+
+
+def _write_colmap_model(d):
+    """Synthesize a tiny COLMAP binary model (2 images, 1 camera, 3 points)."""
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 640, 480))  # PINHOLE
+        f.write(struct.pack("<4d", 500.0, 510.0, 320.0, 240.0))
+    qvec = np.array([0.9238795, 0.0, 0.3826834, 0.0])  # 45 deg about y (wxyz)
+    tvec = np.array([0.1, -0.2, 2.0])
+    with open(os.path.join(d, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for i, name in enumerate([b"b.png", b"a.png"]):
+            f.write(struct.pack("<I", i + 1))
+            f.write(struct.pack("<4d", *qvec))
+            f.write(struct.pack("<3d", *tvec))
+            f.write(struct.pack("<I", 1))
+            f.write(name + b"\x00")
+            f.write(struct.pack("<Q", 2))  # 2 dummy observations
+            f.write(struct.pack("<ddq", 1.0, 2.0, -1) * 2)
+    with open(os.path.join(d, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for i in range(3):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<3d", i * 1.0, 0.5, 2.0))
+            f.write(struct.pack("<3B", 255, 128, 0))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<iI", 1, 0))
+    return qvec, tvec
+
+
+def test_colmap_binary_parsers(tmp_path):
+    d = str(tmp_path / "sparse")
+    qvec, tvec = _write_colmap_model(d)
+
+    cams = read_cameras_binary(os.path.join(d, "cameras.bin"))
+    assert cams[1]["model"] == "PINHOLE"
+    fx, fy, cx, cy = pinhole_intrinsics(cams[1])
+    assert (fx, fy, cx, cy) == (500.0, 510.0, 320.0, 240.0)
+
+    imgs = read_images_binary(os.path.join(d, "images.bin"))
+    assert len(imgs) == 2
+    assert imgs[1]["name"] == "b.png"
+    np.testing.assert_allclose(imgs[1]["qvec"], qvec)
+
+    pts = read_points3d_binary(os.path.join(d, "points3D.bin"))
+    assert pts.shape == (3, 6)
+    np.testing.assert_allclose(pts[0, 3:], [1.0, 128 / 255.0, 0.0], atol=1e-6)
+
+
+def test_colmap_pose_inversion():
+    """c2w @ w2c must be identity; rotation orthonormal."""
+    qvec = np.array([0.9238795, 0.1, 0.3826834, -0.05])
+    tvec = np.array([0.3, -0.1, 1.5])
+    R = qvec_wxyz_to_rotmat(qvec)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+    c2w = colmap_pose_to_c2w(qvec, tvec)
+    w2c = np.eye(4)
+    w2c[:3, :3] = R
+    w2c[:3, 3] = tvec
+    np.testing.assert_allclose(c2w @ w2c, np.eye(4), atol=1e-5)
+
+
+def test_poses_bounds_parsing(tmp_path):
+    """LLFF 3x5 layout: c2w columns remapped (down,right,back)->(right,up,back)."""
+    n = 4
+    rng = np.random.default_rng(3)
+    pb = np.zeros((n, 17))
+    for i in range(n):
+        m = np.zeros((3, 5))
+        m[:, 0] = [0, -1, 0]  # LLFF col0 = down = -up
+        m[:, 1] = [1, 0, 0]  # LLFF col1 = right
+        m[:, 2] = [0, 0, 1]  # back
+        m[:, 3] = rng.normal(0, 1, 3)  # position
+        m[:, 4] = [480, 640, 555.0]  # h, w, f
+        pb[i, :15] = m.reshape(-1)
+        pb[i, 15:] = [0.5, 10.0]
+    path = str(tmp_path / "poses_bounds.npy")
+    np.save(path, pb)
+    out = load_poses_bounds(path)
+    assert out["num_images"] == n
+    c2w = out["c2w"][0]
+    # right=(1,0,0), up=(0,1,0), back=(0,0,1) after conversion
+    np.testing.assert_allclose(c2w[:3, 0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(c2w[:3, 1], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(out["hwf"][0], [480, 640, 555.0])
+
+
+def _make_dataset_dir(tmp_path, n_views=3, h=32, w=40):
+    rng = np.random.default_rng(4)
+    d = str(tmp_path / "scene")
+    os.makedirs(os.path.join(d, "images"))
+    for i in range(n_views):
+        img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        save_image(os.path.join(d, "images", f"{i:03d}.png"), img)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_views, 1, 1))
+    poses[:, 0, 3] = np.arange(n_views) * 0.1
+    np.save(os.path.join(d, "poses.npy"), poses)
+    np.save(
+        os.path.join(d, "cam_meta.npy"),
+        {"fx": 35.0, "fy": 36.0, "width": w, "height": h},
+        allow_pickle=True,
+    )
+    pts = np.concatenate(
+        [rng.normal(0, 1, (32, 3)) + [0, 0, 3], rng.uniform(0, 1, (32, 3))],
+        axis=-1,
+    ).astype(np.float32)
+    write_ply(os.path.join(d, "pointcloud.ply"), pts)
+    return d
+
+
+def test_gaussian_dataset(tmp_path):
+    d = _make_dataset_dir(tmp_path)
+    ds = GaussianDataset(d, scale_factor=1.0)
+    assert len(ds) == 3
+    assert (ds.height, ds.width) == (32, 40)
+    assert ds.cx == 20.0 and ds.cy == 16.0  # center default
+    view = ds[1]
+    assert view["image"].shape == (32, 40, 3)
+    assert view["c2w"][0, 3] == np.float32(0.1)
+    assert ds.pointcloud_path() is not None
+
+    batch = next(ds.batches(batch_size=2, seed=0))
+    assert batch["image"].shape == (2, 32, 40, 3)
+    assert batch["c2w"].shape == (2, 4, 4)
+    assert batch["fx"].shape == (2,)
+
+
+def test_dataset_scale_factor(tmp_path):
+    d = _make_dataset_dir(tmp_path, h=32, w=40)
+    ds = GaussianDataset(d, scale_factor=0.5)
+    assert (ds.height, ds.width) == (16, 20)
+    assert ds.fx == 17.5  # intrinsics scale with resolution
+
+
+def test_image_roundtrip(tmp_path):
+    img = np.random.default_rng(5).uniform(0, 1, (16, 24, 3)).astype(np.float32)
+    path = str(tmp_path / "img.png")
+    save_image(path, img)
+    back = load_image(path)
+    assert back.shape == (16, 24, 3)
+    np.testing.assert_allclose(back, img, atol=1 / 255.0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from gsplat_tpu import TrainConfig
+    from gsplat_tpu.models import init_pool_from_points
+    from gsplat_tpu.train import init_train_state
+    from gsplat_tpu.train.trainer import (
+        load_checkpoint,
+        restore_pool,
+        save_checkpoint,
+    )
+
+    rng = np.random.default_rng(6)
+    pts = rng.normal(0, 1, (20, 3)).astype(np.float32)
+    cfg = TrainConfig(capacity=64)
+    state = init_train_state(init_pool_from_points(pts, capacity=64), cfg)
+    state = state._replace(step=jnp.asarray(123, jnp.int32))
+
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state)
+
+    pool = restore_pool(path)
+    assert int(pool.num_alive()) == 20
+    np.testing.assert_array_equal(
+        np.asarray(pool.params["pos"]), np.asarray(state.pool.params["pos"])
+    )
+
+    restored = load_checkpoint(path, init_train_state(pool, cfg))
+    assert int(restored.step) == 123
+    leaves_a = [np.asarray(x) for x in __import__("jax").tree.leaves(state.opt_state)]
+    leaves_b = [np.asarray(x) for x in __import__("jax").tree.leaves(restored.opt_state)]
+    assert all(np.array_equal(a, b) for a, b in zip(leaves_a, leaves_b))

@@ -1,0 +1,132 @@
+"""End-to-end: synthetic dataset dir -> fit() -> checkpoint -> orbit render.
+
+Exercises the whole host stack (data loading, training driver with ADC and
+checkpointing, trajectory rendering) on CPU at tiny scale.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gsplat_tpu import RenderConfig, TrainConfig
+from gsplat_tpu.data import GaussianDataset
+from gsplat_tpu.data.images import save_image
+from gsplat_tpu.data.pointcloud import write_ply
+from gsplat_tpu.train.fit import fit
+from gsplat_tpu.viewer import (
+    create_orbit_trajectory,
+    estimate_scene_center_radius,
+    look_at,
+    make_render_fn,
+    render_trajectory,
+)
+
+H, W = 48, 48
+FX = 45.0
+
+
+def _synthesize_scene_dir(tmp_path, n_views=4):
+    """Ground-truth views rendered from a known gaussian scene."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu import render_from_params
+
+    rng = np.random.default_rng(11)
+    n = 48
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(3, 5, n)],
+        axis=-1,
+    ).astype(np.float32)
+    colors = rng.uniform(0.2, 0.9, (n, 3)).astype(np.float32)
+    params = {
+        "pos": jnp.asarray(pts),
+        "scale_raw": jnp.asarray(rng.normal(0, 0.2, (n, 3)) - 1.6, jnp.float32),
+        "q_raw": jnp.asarray(
+            rng.normal(0, 0.5, (n, 4)) + np.array([0, 0, 0, 1.5]), jnp.float32
+        ),
+        "opacity_raw": jnp.asarray(rng.normal(1.5, 0.5, n), jnp.float32),
+        "f_dc": jnp.asarray(colors),
+        "f_rest": jnp.asarray(np.zeros((n, 45), np.float32)),
+    }
+    cfg = RenderConfig(height=H, width=W, max_pairs=2048, pair_block=32,
+                       backend="xla")
+    d = str(tmp_path / "scene")
+    os.makedirs(os.path.join(d, "images"))
+    poses = []
+    for i in range(n_views):
+        th = 0.15 * (i - n_views / 2)
+        pos = np.array([3.5 * np.sin(th), 0.2, 4.0 - 3.5 * np.cos(th)])
+        c2w = look_at(pos, np.array([0.0, 0.0, 4.0]))
+        img, _ = render_from_params(
+            params, jnp.asarray(c2w), FX, FX, W / 2, H / 2, cfg
+        )
+        save_image(os.path.join(d, "images", f"{i:03d}.png"), np.asarray(img))
+        poses.append(c2w)
+    np.save(os.path.join(d, "poses.npy"), np.stack(poses))
+    np.save(
+        os.path.join(d, "cam_meta.npy"),
+        {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2},
+        allow_pickle=True,
+    )
+    write_ply(
+        os.path.join(d, "pointcloud.ply"),
+        np.concatenate([pts, colors], axis=-1),
+    )
+    return d
+
+
+def test_fit_end_to_end(tmp_path):
+    d = _synthesize_scene_dir(tmp_path)
+    ds = GaussianDataset(d, scale_factor=1.0)
+    out_dir = str(tmp_path / "out")
+
+    render_cfg = RenderConfig(height=H, width=W, max_pairs=2048,
+                              pair_block=32, backend="xla")
+    train_cfg = TrainConfig(
+        iterations=40,
+        batch_size=2,
+        capacity=128,
+        densification_interval=15,
+        densify_until_iter=35,
+        opacity_reset_interval=10_000,
+        checkpoint_interval=20,
+    )
+    logs = []
+    state, report = fit(
+        ds, render_cfg, train_cfg, output_dir=out_dir,
+        log_every=10, log_fn=logs.append,
+    )
+
+    assert report.iterations == 40
+    assert np.isfinite(report.final_loss)
+    first_loss = report.losses[0][1]
+    assert report.final_loss < first_loss, (
+        f"loss did not decrease: {first_loss} -> {report.final_loss}"
+    )
+    assert os.path.exists(os.path.join(out_dir, "checkpoint_final.npz"))
+    assert os.path.exists(os.path.join(out_dir, "train_log.json"))
+    assert report.num_gaussians >= 40  # init cloud survived
+
+    # --- resume continues the step counter ---
+    train_cfg2 = train_cfg.__class__(**{
+        **train_cfg.__dict__, "iterations": 45,
+    })
+    state2, report2 = fit(
+        ds, render_cfg, train_cfg2,
+        resume_from=os.path.join(out_dir, "checkpoint_final.npz"),
+        log_every=5, log_fn=logs.append,
+    )
+    assert int(state2.step) == 45
+
+    # --- orbit render from the checkpoint ---
+    center, radius = estimate_scene_center_radius(c2w_matrices=ds.c2w)
+    traj = create_orbit_trajectory(center, radius, num_frames=3)
+    render_fn = make_render_fn(
+        state.pool.params, render_cfg, FX, FX, W / 2, H / 2,
+        alive=state.pool.alive,
+    )
+    frames, stats = render_trajectory(render_fn, traj, warmup=1)
+    assert len(frames) == 3
+    assert frames[0].shape == (H, W, 3) and frames[0].dtype == np.uint8
+    assert stats["fps"] > 0
