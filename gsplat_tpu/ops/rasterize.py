@@ -196,15 +196,20 @@ def rasterize_binned_pallas(
 
     T = cfg.tile
     P = T * T
-    feat9 = _pair_features(proj, colors, jnp.float32)
+    feat9 = _pair_features(proj, colors, jnp.float32)[binning.depth_order]
     n = feat9.shape[0]
-    feat = jnp.concatenate(
-        [feat9, jnp.zeros((n, FEAT_WIDTH - feat9.shape[1]), jnp.float32)],
-        axis=-1,
-    )[binning.depth_order]
     s_idx = binning.pair_slot
-    pair_feat = feat[jnp.clip(s_idx, 0, n - 1)]
-    pair_feat = jnp.where(s_idx[:, None] >= 0, pair_feat, 0.0)
+    # Gather/scatter stay 9 columns wide (the kernel's 7 pad lanes carry no
+    # gradient; a 16-wide gather costs ~45% more scatter-add in backward).
+    pair_feat9 = feat9[jnp.clip(s_idx, 0, n - 1)]
+    pair_feat9 = jnp.where(s_idx[:, None] >= 0, pair_feat9, 0.0)
+    pair_feat = jnp.concatenate(
+        [
+            pair_feat9,
+            jnp.zeros((s_idx.shape[0], FEAT_WIDTH - 9), jnp.float32),
+        ],
+        axis=-1,
+    )
 
     out = composite_pairs(
         pair_feat, binning.block_tile, binning.block_first, cfg

@@ -52,3 +52,38 @@ def make_mesh(
         raise ValueError(f"data*tile = {data}*{tile} != {n_devices} devices")
     dev_array = np.asarray(devices).reshape(data, tile)
     return jax.sharding.Mesh(dev_array, (DATA_AXIS, TILE_AXIS))
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> dict:
+    """Bring up the JAX distributed runtime for multi-host training.
+
+    On Cloud TPU pods the arguments are auto-detected from the metadata
+    server (`jax.distributed.initialize()` with no args); elsewhere pass
+    them explicitly. Idempotent. Returns a summary of the global topology.
+
+    Layout guidance (SURVEY §5.8): put `tile` (the chatty axis — a band
+    all-gather every step) on ICI inside each slice and let `data` span DCN
+    across hosts; `make_mesh` over `jax.devices()` after this call does so
+    naturally because JAX orders devices host-major.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address is None and num_processes is None:
+        try:  # TPU pod auto-detection; a no-op single-process fallback
+            jax.distributed.initialize()
+        except Exception:
+            pass
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }

@@ -262,3 +262,50 @@ def load_checkpoint(path, state: TrainState) -> TrainState:
         opt_state=jax.tree.unflatten(treedef, opt_leaves),
         step=jnp.asarray(data["__step__"]),
     )
+
+
+# --- orbax backend (multi-host / async; SURVEY §5.4) -----------------------
+
+
+def _state_tree(state: TrainState) -> dict:
+    return {
+        "params": state.pool.params,
+        "alive": state.pool.alive,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+
+
+def save_checkpoint_orbax(path, state: TrainState):
+    """Directory checkpoint via orbax (sharding-aware, multi-host safe).
+
+    Use this instead of the .npz writer when training across processes —
+    every host participates in the save; .npz would race on one file.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path), _state_tree(state), force=True
+        )
+
+
+def load_checkpoint_orbax(path, state: TrainState) -> TrainState:
+    """Restore an orbax checkpoint into a matching-structure state."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path), _state_tree(state)
+        )
+    return TrainState(
+        pool=GaussianPool(
+            params=restored["params"], alive=restored["alive"]
+        ),
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )

@@ -240,3 +240,31 @@ def test_checkpoint_roundtrip(tmp_path):
     leaves_a = [np.asarray(x) for x in __import__("jax").tree.leaves(state.opt_state)]
     leaves_b = [np.asarray(x) for x in __import__("jax").tree.leaves(restored.opt_state)]
     assert all(np.array_equal(a, b) for a, b in zip(leaves_a, leaves_b))
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    import jax.numpy as jnp
+
+    from gsplat_tpu import TrainConfig
+    from gsplat_tpu.models import init_pool_from_points
+    from gsplat_tpu.train import init_train_state
+    from gsplat_tpu.train.trainer import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    pytest.importorskip("orbax.checkpoint")
+    pts = np.random.default_rng(8).normal(0, 1, (16, 3)).astype(np.float32)
+    cfg = TrainConfig(capacity=32)
+    state = init_train_state(init_pool_from_points(pts, capacity=32), cfg)
+    state = state._replace(step=jnp.asarray(9, jnp.int32))
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, state)
+    restored = load_checkpoint_orbax(
+        path, init_train_state(init_pool_from_points(pts, capacity=32), cfg)
+    )
+    assert int(restored.step) == 9
+    np.testing.assert_array_equal(
+        np.asarray(restored.pool.params["pos"]),
+        np.asarray(state.pool.params["pos"]),
+    )
