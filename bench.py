@@ -39,13 +39,107 @@ def make_scene(n, seed=0):
     }
 
 
+def grad_parity_err():
+    """Pixel-gradient max abs err vs the PyTorch reference (BASELINE metric).
+
+    Config-1 scale (small scene, CPU-feasible reference): d(sum(image))/d(pos)
+    of the full pipeline, JAX on the current device vs torch.autograd through
+    the reference at /root/reference. Returns None when unavailable.
+    """
+    import os
+    import sys
+
+    if not os.path.isdir("/root/reference"):
+        return None
+    try:
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        import gaussian_splatting as ref_pkg
+
+        import jax
+        import jax.numpy as jnp
+
+        from gsplat_tpu import RenderConfig, render_from_params
+
+        # NOTE: do NOT import tests/conftest here — it force-switches the
+        # JAX platform to CPU at import time.
+        r = np.random.default_rng(1234)
+        n = 256
+        scene = {
+            "pos": np.stack(
+                [r.uniform(-2, 2, n), r.uniform(-2, 2, n), r.uniform(3, 8, n)],
+                axis=-1,
+            ).astype(np.float32),
+            "scale_raw": (r.normal(0, 0.3, (n, 3)) - 2.0).astype(np.float32),
+            "q_raw": (r.normal(0, 1, (n, 4)) + [0, 0, 0, 2.0]).astype(
+                np.float32
+            ),
+            "opacity_raw": r.normal(0.5, 1.0, n).astype(np.float32),
+            "f_dc": r.normal(0, 0.8, (n, 3)).astype(np.float32),
+            "f_rest": r.normal(0, 0.05, (n, 45)).astype(np.float32),
+        }
+        th = 0.08
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = np.array(
+            [
+                [np.cos(th), 0, np.sin(th)],
+                [0, 1, 0],
+                [-np.sin(th), 0, np.cos(th)],
+            ],
+            dtype=np.float32,
+        )
+        c2w[:3, 3] = [0.1, -0.05, 0.2]
+        scene["c2w"] = c2w
+        cam = dict(H=128, W=128, fx=120.0, fy=118.0, cx=64.5, cy=63.5)
+
+        t = {
+            k: torch.from_numpy(v.copy()).requires_grad_(True)
+            for k, v in scene.items()
+            if k != "c2w"
+        }
+        c2w_t = torch.from_numpy(scene["c2w"])
+        sigma = ref_pkg.build_sigma_from_params(t["scale_raw"], t["q_raw"])
+        colors = ref_pkg.evaluate_sh(t["f_dc"], t["f_rest"], t["pos"], c2w_t)
+        img_t = ref_pkg.render(
+            t["pos"], colors, t["opacity_raw"], sigma, c2w_t,
+            cam["H"], cam["W"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+        )
+        img_t.sum().backward()
+        ref_grad = t["pos"].grad.numpy()
+
+        cfg = RenderConfig(height=cam["H"], width=cam["W"], max_pairs=2**15,
+                           pair_block=32)
+        params = {
+            k: jnp.asarray(v) for k, v in scene.items() if k != "c2w"
+        }
+        g = jax.grad(
+            lambda p: render_from_params(
+                p, jnp.asarray(scene["c2w"]), cam["fx"], cam["fy"],
+                cam["cx"], cam["cy"], cfg,
+            )[0].sum()
+        )(params)
+        abs_err = float(np.abs(np.asarray(g["pos"]) - ref_grad).max())
+        scale = float(np.abs(ref_grad).max())
+        return {
+            "pixel_grad_max_abs_err": abs_err,
+            "pixel_grad_rel_err": abs_err / (scale + 1e-20),
+            "pixel_grad_ref_scale": scale,
+        }
+    except Exception as e:  # report but never break the bench
+        return f"unavailable: {type(e).__name__}"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--gaussians", type=int, default=2**17)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--backward", action="store_true", help="also bench fwd+bwd")
+    p.add_argument("--no-backward", dest="backward", action="store_false",
+                   help="skip the fwd+bwd benchmark")
+    p.add_argument("--no-parity", dest="parity", action="store_false",
+                   help="skip the gradient parity check vs the reference")
     args = p.parse_args()
 
     import jax
@@ -103,6 +197,13 @@ def main():
         dt_step = (time.perf_counter() - t0) / max(args.iters // 2, 1)
         extras["fwd_bwd_fps"] = 1.0 / dt_step
         extras["rays_per_s_fwd_bwd"] = args.height * args.width / dt_step
+
+    if args.parity:
+        err = grad_parity_err()
+        if isinstance(err, dict):
+            extras.update(err)
+        elif err is not None:
+            extras["pixel_grad_max_abs_err"] = err
 
     print(
         json.dumps(

@@ -72,7 +72,9 @@ def _cumsum_rows_incl(x):
     col = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     L = (row >= col).astype(x.dtype)
     return jax.lax.dot_general(
-        L, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        L, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -134,6 +136,7 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
         contrib = jax.lax.dot_general(
             rgb, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [3, P]
         out_ref[0, 0:3, :] = rgb_in + contrib
         out_ref[0, 3:4, :] = T_in * jnp.exp(
@@ -183,6 +186,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
         drgb = jax.lax.dot_general(
             w, gC, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [G, 3]
 
         # Prefix color sums INCLUDING row i: prefix_i = prefix_in + cumsum.
@@ -190,6 +194,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
         gdotc = jax.lax.dot_general(
             rgb, gC, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [G, P]
         # gP[i, p] = sum_c gC[c, p] * prefix_incl[c][i, p]; build via cumsum
         # of per-row weighted contributions.
@@ -235,6 +240,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
         carry_ref[0:3, :] = prefix_in + jax.lax.dot_general(
             rgb, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         carry_ref[3:4, :] = T_in * jnp.exp(
             jnp.sum(s, axis=0, keepdims=True)
