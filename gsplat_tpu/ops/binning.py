@@ -138,10 +138,16 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     n_v = jnp.maximum(tile_max[:, 1] - tile_min[:, 1] + 1, 0)
     counts = (n_u * n_v).astype(jnp.int32)
 
+    # Capacity overflow drops WHOLE gaussians from the back of the depth
+    # order (the first non-fitting gaussian and everything behind it): the
+    # per-tile pair counts then remain computable in closed form BEFORE the
+    # sort, which is what lets the sort itself produce the aligned layout.
+    full_cum = jnp.cumsum(counts, dtype=jnp.int32)
+    total = full_cum[-1]  # true demand (reported; may exceed cap)
+    counts = jnp.where(full_cum <= cap, counts, 0)
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
-    )  # [N+1] exclusive offsets
-    total = offsets[-1]
+    )  # [N+1] exclusive offsets (post-drop)
 
     # --- expansion, gather-free ---
     # Three scatter->cumsum passes fused into ONE [3, cap+1] cumsum:
@@ -182,52 +188,78 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     )
     slot = jnp.where(pair_ok, slot, -1)
 
-    # Pairs are depth-major already -> ONE stable sort by tile id gives
-    # tile-major runs that stay depth-ordered within each tile. When the
-    # combined key fits int32, a packed single-array sort is ~15% faster
-    # than the stable key+value sort (and implicitly stable).
-    if (num_tiles + 1) * (n + 1) < 2**31:
-        key = tile_id * (n + 1) + jnp.where(pair_ok, slot, n)
-        sorted_key = lax.sort(key)
-        sorted_tile = sorted_key // (n + 1)
-        sorted_slot = sorted_key % (n + 1)
-        sorted_slot = jnp.where(sorted_slot == n, -1, sorted_slot)
-    else:
-        sorted_tile, sorted_slot = lax.sort(
-            (tile_id, slot), num_keys=1, is_stable=True
-        )
+    # --- exact per-tile counts BEFORE the sort ---
+    # Each kept gaussian covers an axis-aligned tile rectangle; scatter the
+    # four signed corners into a [tiles_y+1, tiles_x+1] grid and take the 2D
+    # inclusive prefix sum. Whole-gaussian overflow dropping (above) is what
+    # keeps this exact: partial footprints never occur.
+    kept = counts > 0
+    one = jnp.where(kept, 1, 0).astype(jnp.int32)
+    y0g = tile_min[:, 1]
+    x0g = tile_min[:, 0]
+    y1g = y0g + n_v  # exclusive
+    x1g = x0g + n_u
+    grid2 = jnp.zeros((cfg.tiles_y + 1, cfg.tiles_x + 1), jnp.int32)
+    grid2 = grid2.at[y0g, x0g].add(one, mode="drop")
+    grid2 = grid2.at[y0g, x1g].add(-one, mode="drop")
+    grid2 = grid2.at[y1g, x0g].add(-one, mode="drop")
+    grid2 = grid2.at[y1g, x1g].add(one, mode="drop")
+    cnt2d = jnp.cumsum(jnp.cumsum(grid2, axis=0), axis=1)
+    tile_count = cnt2d[: cfg.tiles_y, : cfg.tiles_x].reshape(num_tiles)
 
-    # Per-tile [start, end): runs are contiguous, so one searchsorted with
-    # num_tiles + 1 queries yields both boundaries.
-    bounds = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    tile_start_raw = bounds[:num_tiles]
-    tile_count = bounds[1:] - bounds[:num_tiles]
-
-    # --- block alignment: pad each tile's run to a multiple of G ---
-    padded_count = -(-tile_count // G) * G
+    # --- block alignment: explicit padding pairs, ONE sort does it all ---
+    # Every tile's run is padded to a multiple of G with dummy pairs whose
+    # key sorts after the tile's real pairs (slot = n); the sorted array is
+    # then block-aligned by construction — no scatter pass at all.
+    pad_count = (-tile_count) % G
+    padded_count = tile_count + pad_count
     padded_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_count)]
     )  # [num_tiles + 1]
-    pad_before = padded_start[:num_tiles] - tile_start_raw  # per tile
 
-    # Per-pair shift, again via boundary deltas + cumsum (tile runs start at
-    # tile_start_raw): shift[p] = pad_before[tile_of_p].
-    shift_delta = jnp.concatenate(
-        [pad_before[:1], pad_before[1:] - pad_before[:-1]]
-    )
-    shift = jnp.cumsum(
-        jnp.zeros(cap, jnp.int32).at[tile_start_raw].add(
-            shift_delta, mode="drop"
+    n_pad_slots = num_tiles * (G - 1)
+    pad_col = jnp.arange(G - 1, dtype=jnp.int32)[None, :]
+    pad_tile = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
+    pad_active = pad_col < pad_count[:, None]
+
+    if (num_tiles + 1) * (n + 1) < 2**31:
+        # Packed single-key sort (implicitly stable; ~15% faster than the
+        # 2-operand form).
+        sentinel = num_tiles * (n + 1) + n
+        key_real = jnp.where(
+            pair_ok, tile_id * (n + 1) + slot, sentinel
         )
-    )
-    new_pos = jnp.where(
-        sorted_tile < num_tiles, p + shift, cap_pad
-    )
-    pair_slot = jnp.full((cap_pad,), -1, jnp.int32).at[new_pos].set(
-        sorted_slot, mode="drop", indices_are_sorted=True, unique_indices=True
-    )
+        key_pad = jnp.where(
+            pad_active, pad_tile * (n + 1) + n, sentinel
+        ).reshape(n_pad_slots)
+        keys = jnp.concatenate(
+            [
+                key_real,
+                key_pad,
+                jnp.full((cap_pad - cap - n_pad_slots,), sentinel, jnp.int32),
+            ]
+        )
+        sorted_key = lax.sort(keys)
+        pair_slot = sorted_key % (n + 1)
+        pair_slot = jnp.where(pair_slot == n, -1, pair_slot)
+    else:
+        slot = jnp.where(pair_ok, slot, n)
+        tile_real = jnp.where(pair_ok, tile_id, num_tiles)
+        tile_pad = jnp.where(pad_active, pad_tile, num_tiles).reshape(
+            n_pad_slots
+        )
+        tail = cap_pad - cap - n_pad_slots
+        tiles_all = jnp.concatenate(
+            [tile_real, tile_pad, jnp.full((tail,), num_tiles, jnp.int32)]
+        )
+        slots_all = jnp.concatenate(
+            [slot, jnp.full((n_pad_slots + tail,), n, jnp.int32)]
+        )
+        _, pair_slot = lax.sort(
+            (tiles_all * 2 + (slots_all == n), slots_all),
+            num_keys=2,
+        )
+        pair_slot = jnp.where(pair_slot == n, -1, pair_slot)
 
     # Per-block metadata: owning tile + first-block flag (scalar prefetch).
     b0 = jnp.arange(num_blocks, dtype=jnp.int32) * G
