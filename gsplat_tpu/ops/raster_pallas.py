@@ -25,7 +25,10 @@ its autograd backward (/root/reference/gaussian_splatting/render.py:325-410)
   NOTHING per-pair is stored between passes — O(pixels) residuals instead of
   the reference's O(pairs x pixels) autograd tape (its OOM mode).
 
-Feature packing (per pair, 16 f32 lanes, only 9 used):
+Feature packing — FEATURE-MAJOR [16, padded_pairs] (a [pairs, 16] array
+gets the TPU T(8,128) layout: 16 lanes padded to 128 = 8x physical HBM
+amplification on every kernel block DMA; feature-major rows are dense).
+Rows (only 9 used):
     0:u  1:v  2:conic_a  3:conic_b  4:conic_c  5:opacity  6:r  7:g  8:b
 Gradient packing mirrors it, so the pair-feature gather's autodiff (an XLA
 scatter-add) routes per-pair grads back to per-gaussian grads for free.
@@ -133,7 +136,7 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
     # Skip saturated tiles (every pixel's transmittance below threshold).
     @pl.when((first == 1) | (jnp.max(T_in) > cfg.transmittance_min))
     def _():
-        feats = feat_ref[...]  # [G, 16]
+        feats = feat_ref[...].T  # [16, G] feature-major block -> [G, 16]
         px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
         alpha, *_ = _block_alpha(feats, px, py, cfg)
 
@@ -175,7 +178,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
 
     @pl.when(active)
     def _():
-        feats = feat_ref[...]  # [G, 16]
+        feats = feat_ref[...].T  # [16, G] feature-major block -> [G, 16]
         px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
         alpha, du, dv, g, a_raw = _block_alpha(feats, px, py, cfg)
         ca = feats[:, 2:3]
@@ -246,7 +249,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
                 jnp.zeros((G, FEAT_WIDTH - 9), jnp.float32),
             ],
             axis=1,
-        )
+        ).T
 
         # Advance the carry.
         carry_ref[0:3, :] = prefix_in + jax.lax.dot_general(
@@ -260,7 +263,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
 
     @pl.when(jnp.logical_not(active))
     def _():
-        dfeat_ref[...] = jnp.zeros((G, FEAT_WIDTH), jnp.float32)
+        dfeat_ref[...] = jnp.zeros((FEAT_WIDTH, G), jnp.float32)
 
 
 def _fwd_pallas(pair_feat, block_tile, block_first, cfg: RenderConfig):
@@ -271,7 +274,7 @@ def _fwd_pallas(pair_feat, block_tile, block_first, cfg: RenderConfig):
         num_scalar_prefetch=2,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((G, FEAT_WIDTH), lambda b, bt, bf: (b, 0),
+            pl.BlockSpec((FEAT_WIDTH, G), lambda b, bt, bf: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
@@ -294,21 +297,21 @@ def _bwd_pallas(pair_feat, block_tile, block_first, fwd_out, gout,
         num_scalar_prefetch=2,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((G, FEAT_WIDTH), lambda b, bt, bf: (b, 0),
+            pl.BlockSpec((FEAT_WIDTH, G), lambda b, bt, bf: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, FEAT_WIDTH), lambda b, bt, bf: (b, 0),
+        out_specs=pl.BlockSpec((FEAT_WIDTH, G), lambda b, bt, bf: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cfg.padded_pairs, FEAT_WIDTH),
+        out_shape=jax.ShapeDtypeStruct((FEAT_WIDTH, cfg.padded_pairs),
                                        jnp.float32),
         interpret=_use_interpret(),
     )(block_tile, block_first, pair_feat, fwd_out, gout)

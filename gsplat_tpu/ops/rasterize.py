@@ -199,16 +199,19 @@ def rasterize_binned_pallas(
     feat9 = _pair_features(proj, colors, jnp.float32)[binning.depth_order]
     n = feat9.shape[0]
     s_idx = binning.pair_slot
-    # Gather/scatter stay 9 columns wide (the kernel's 7 pad lanes carry no
-    # gradient; a 16-wide gather costs ~45% more scatter-add in backward).
-    pair_feat9 = feat9[jnp.clip(s_idx, 0, n - 1)]
-    pair_feat9 = jnp.where(s_idx[:, None] >= 0, pair_feat9, 0.0)
+    # Feature-major pair array [16, padded_pairs]: a [pairs, 16] layout gets
+    # 8x physical HBM amplification under the TPU (8, 128) tiling, which
+    # multiplies both this gather's writes and every kernel block DMA.
+    # Gather/scatter stay 9 rows wide (the kernel's 7 pad rows carry no
+    # gradient; 16-wide costs ~45% more scatter-add in backward).
+    pair_feat9 = feat9.T[:, jnp.clip(s_idx, 0, n - 1)]
+    pair_feat9 = jnp.where(s_idx[None, :] >= 0, pair_feat9, 0.0)
     pair_feat = jnp.concatenate(
         [
             pair_feat9,
-            jnp.zeros((s_idx.shape[0], FEAT_WIDTH - 9), jnp.float32),
+            jnp.zeros((FEAT_WIDTH - 9, s_idx.shape[0]), jnp.float32),
         ],
-        axis=-1,
+        axis=0,
     )
 
     out = composite_pairs(
