@@ -116,3 +116,6 @@ class TrainConfig:
     checkpoint_interval: int = 1000
     # Fixed-capacity Gaussian pool (on-device ADC; see models/adc.py).
     capacity: int = 2**17
+    # SH bands for view-dependent color (f_rest width 0/9/9/45), matching
+    # reference data_loader.py:353-358.
+    num_sh_bands: int = 3

@@ -152,6 +152,175 @@ def make_sharded_train_step(
     return step_fn
 
 
+def make_gauss_sharded_train_step(
+    render_cfg: RenderConfig,
+    train_cfg: TrainConfig,
+    mesh: jax.sharding.Mesh,
+):
+    """SPMD train step with the Gaussian POOL sharded over the 'tile' axis.
+
+    The scale path for large scenes (SURVEY §5.7): parameters, gradients and
+    optimizer state are all sharded over the capacity axis (ZeRO-style —
+    per-device state shrinks 1/T), and the N-heavy stages (covariance, SH,
+    projection) run on local shards only. Each device projects ITS gaussians,
+    the compact per-gaussian screen features (16 floats vs 52+ parameter +
+    104 optimizer floats) are all-gathered over 'tile' (ICI), and each device
+    rasterizes its pixel band of the full set. The all_gather's transpose is
+    a reduce-scatter, so per-gaussian gradients land pre-sharded.
+
+    State layout contract: every pool/optimizer leaf with a leading capacity
+    dim is sharded P(TILE_AXIS) on dim 0; batch leaves are P(DATA_AXIS);
+    use `shard_train_state` to lay out an existing state.
+    """
+    from ..ops.binning import bin_gaussians
+    from ..ops.gaussian import build_cov3d_packed
+    from ..ops.projection import project_gaussians
+    from ..ops.rasterize import rasterize_binned
+    from ..ops.sh import evaluate_sh
+
+    tx = make_optimizer(train_cfg)
+    n_tile = mesh.shape[TILE_AXIS]
+    band_cfg, band_px = band_config(render_cfg, n_tile)
+
+    band_rows = band_px // render_cfg.tile
+
+    def render_band_gauss_sharded(params, alive, c2w, fx, fy, cx, cy):
+        """Project the LOCAL gaussian shard, all-gather, render my band.
+
+        Projection MUST use the full-frame camera (every tile-device holds a
+        different gaussian shard, so projecting against per-band cameras
+        would gather an inconsistent mix); the gathered screen-space data is
+        then localized to this device's band by shifting v / tile rows.
+        """
+        cov3d = build_cov3d_packed(params["scale_raw"], params["q_raw"])
+        colors = evaluate_sh(
+            params["f_dc"], params["f_rest"], params["pos"], c2w
+        )
+        proj = project_gaussians(
+            params["pos"], cov3d, params["opacity_raw"], c2w,
+            fx, fy, cx, cy, render_cfg, extra_valid=alive,
+        )
+        # Gather the compact screen-space features to full N. The backward
+        # of all_gather is a psum-scatter: grads return shard-local.
+        proj_full, colors_full = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, TILE_AXIS, axis=0, tiled=True),
+            (proj, colors),
+        )
+
+        # Band-localize: shift pixel v and tile rows; drop non-overlapping.
+        b = jax.lax.axis_index(TILE_AXIS)
+        row0 = (b * band_rows).astype(jnp.int32)
+        tmin_y = proj_full.tile_min[:, 1] - row0
+        tmax_y = proj_full.tile_max[:, 1] - row0
+        valid = (
+            proj_full.valid & (tmax_y >= 0) & (tmin_y <= band_rows - 1)
+        )
+        tmin_y = jnp.where(valid, jnp.clip(tmin_y, 0, band_rows - 1), 0)
+        tmax_y = jnp.where(valid, jnp.clip(tmax_y, 0, band_rows - 1), -1)
+        uv = proj_full.uv - jnp.stack(
+            [jnp.zeros((), jnp.float32),
+             (row0 * render_cfg.tile).astype(jnp.float32)]
+        )[None, :]
+        proj_band = proj_full._replace(
+            uv=uv,
+            valid=valid,
+            tile_min=jnp.stack([proj_full.tile_min[:, 0], tmin_y], axis=-1),
+            tile_max=jnp.stack([proj_full.tile_max[:, 0], tmax_y], axis=-1),
+        )
+        binning = bin_gaussians(proj_band, band_cfg)
+        img, _ = rasterize_binned(proj_band, colors_full, binning, band_cfg)
+        return img
+
+    def device_fn(params, alive, batch):
+        def loss_fn(p):
+            def view_loss(carry, view):
+                band = render_band_gauss_sharded(
+                    p, alive, view["c2w"], view["fx"], view["fy"],
+                    view["cx"], view["cy"],
+                )
+                img = gather_bands(band, render_cfg)
+                total, comps = compute_loss(
+                    img, view["image"], train_cfg.lambda_l1,
+                    train_cfg.lambda_ssim,
+                )
+                return carry, (total, comps["l1"], comps["ssim"])
+
+            _, (totals, l1s, ssims) = jax.lax.scan(
+                jax.checkpoint(view_loss), 0.0, batch
+            )
+            return jnp.mean(totals), (jnp.mean(l1s), jnp.mean(ssims))
+
+        (loss, (l1, ssim)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        # Grads are already shard-local along the capacity axis (all_gather
+        # transpose); just average over the data axis.
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        l1 = jax.lax.pmean(l1, DATA_AXIS)
+        ssim = jax.lax.pmean(ssim, DATA_AXIS)
+
+        # Position-grad clip needs the GLOBAL norm across shards.
+        gp = grads["pos"]
+        norm_sq = jax.lax.psum(jnp.sum(gp * gp), TILE_AXIS)
+        scale = jnp.minimum(
+            1.0, train_cfg.grad_clip_pos / (jnp.sqrt(norm_sq) + 1e-6)
+        )
+        grads = dict(grads)
+        grads["pos"] = gp * scale
+        return grads, loss, l1, ssim
+
+    sharded = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(DATA_AXIS)),
+        out_specs=(P(TILE_AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, batch: dict):
+        grads, loss, l1, ssim = sharded(
+            state.pool.params, state.pool.alive, batch
+        )
+        grads = jax.tree.map(
+            lambda g: jnp.where(
+                state.pool.alive.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0
+            ),
+            grads,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.pool.params)
+        params = optax.apply_updates(state.pool.params, updates)
+        new_state = TrainState(
+            pool=GaussianPool(params=params, alive=state.pool.alive),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        metrics = {"total": loss, "l1": l1, "ssim": ssim,
+                   "pos_grad": grads["pos"]}
+        return new_state, metrics
+
+    return step_fn
+
+
+def shard_train_state(state: TrainState, mesh: jax.sharding.Mesh) -> TrainState:
+    """Lay out a train state for `make_gauss_sharded_train_step`.
+
+    Every leaf whose leading dim is the pool capacity is sharded over the
+    'tile' axis; everything else is replicated.
+    """
+    cap = state.pool.capacity
+    shard = jax.sharding.NamedSharding(mesh, P(TILE_AXIS))
+    repl = jax.sharding.NamedSharding(mesh, P())
+
+    def place(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == cap:
+            return jax.device_put(leaf, shard)
+        return jax.device_put(leaf, repl)
+
+    return jax.tree.map(place, state)
+
+
 def make_sharded_render(render_cfg: RenderConfig, mesh: jax.sharding.Mesh):
     """Band-parallel inference renderer: (params, alive, camera) -> image."""
     n_tile = mesh.shape[TILE_AXIS]

@@ -58,6 +58,7 @@ def fit(
     initial_points: np.ndarray | None = None,
     resume_from: str | None = None,
     mesh: jax.sharding.Mesh | None = None,
+    gauss_sharded: bool = False,
     log_every: int = 50,
     log_fn: Callable[[str], None] = print,
     seed: int = 0,
@@ -103,7 +104,10 @@ def fit(
         )
 
     pool = init_pool_from_points(
-        initial_points, capacity=train_cfg.capacity, seed=seed
+        initial_points,
+        capacity=train_cfg.capacity,
+        num_sh_bands=train_cfg.num_sh_bands,
+        seed=seed,
     )
     state = init_train_state(pool, train_cfg)
 
@@ -112,7 +116,15 @@ def fit(
         log_fn(f"resumed from {resume_from} at step {int(state.step)}")
 
     # --- compiled step ---
-    if mesh is not None:
+    if mesh is not None and gauss_sharded:
+        from ..parallel.sharding import (
+            make_gauss_sharded_train_step,
+            shard_train_state,
+        )
+
+        state = shard_train_state(state, mesh)
+        step_fn = make_gauss_sharded_train_step(render_cfg, train_cfg, mesh)
+    elif mesh is not None:
         from ..parallel.sharding import make_sharded_train_step
 
         step_fn = make_sharded_train_step(render_cfg, train_cfg, mesh)

@@ -45,6 +45,9 @@ def main():
                    help="devices along the data (view) mesh axis")
     p.add_argument("--mesh_tile", type=int, default=1,
                    help="devices along the tile (image band) mesh axis")
+    p.add_argument("--gauss_sharded", action="store_true",
+                   help="shard pool/grads/optimizer over the tile axis "
+                        "(ZeRO-style; for large scenes)")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -84,6 +87,7 @@ def main():
         densify_until_iter=args.densify_until_iter,
         opacity_reset_interval=args.opacity_reset_interval,
         checkpoint_interval=args.checkpoint_interval,
+        num_sh_bands=args.sh_bands,
     )
 
     mesh = None
@@ -104,6 +108,7 @@ def main():
         output_dir=args.output_dir,
         resume_from=args.resume_from,
         mesh=mesh,
+        gauss_sharded=args.gauss_sharded,
         log_every=args.log_every,
         seed=args.seed,
     )

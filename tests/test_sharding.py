@@ -120,3 +120,38 @@ def test_dp_x_tile_train_step_runs_and_learns():
         state, m = step(state, batch)
     assert float(m["total"]) < first
     assert np.isfinite(float(m["total"]))
+
+
+def test_gauss_sharded_train_step_matches_single_device():
+    """Pool sharded over 'tile' (ZeRO-style): one step must match the
+    replicated single-device step."""
+    from gsplat_tpu.parallel.sharding import (
+        make_gauss_sharded_train_step,
+        shard_train_state,
+    )
+
+    pool = _pool()
+    batch = _batch(pool, b=2)
+    tcfg = TrainConfig(capacity=512, batch_size=2)
+
+    single = make_train_step(CFG, tcfg)
+    s1, m1 = single(init_train_state(_pool(), tcfg), batch)
+
+    mesh = make_mesh(n_devices=8, data=2, tile=4)
+    step = make_gauss_sharded_train_step(CFG, tcfg, mesh)
+    g0 = shard_train_state(init_train_state(_pool(), tcfg), mesh)
+    g1, m2 = step(g0, batch)
+
+    assert float(m1["total"]) == pytest.approx(float(m2["total"]), abs=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.pool.params["pos"]), np.asarray(g1.pool.params["pos"]),
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.pool.params["f_dc"]),
+        np.asarray(g1.pool.params["f_dc"]),
+        atol=5e-6,
+    )
+    # The state really is sharded: each leaf's sharding spans the tile axis.
+    sh = g1.pool.params["pos"].sharding
+    assert not sh.is_fully_replicated
