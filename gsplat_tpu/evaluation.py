@@ -1,0 +1,71 @@
+"""Quality evaluation: PSNR / SSIM over held-out views.
+
+The reference reports only losses during training (train.py tqdm postfix);
+novel-view-synthesis work standardly reports PSNR/SSIM on validation views —
+this module adds that capability to the framework.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderConfig
+from .ops.losses import ssim
+from .render import render_from_params
+
+
+def psnr(img: jnp.ndarray, ref: jnp.ndarray, max_val: float = 1.0):
+    """Peak signal-to-noise ratio in dB."""
+    mse = jnp.mean((img - ref) ** 2)
+    return 10.0 * jnp.log10(max_val * max_val / jnp.maximum(mse, 1e-12))
+
+
+def evaluate_views(
+    params: dict,
+    views: list,
+    cfg: RenderConfig,
+    alive=None,
+) -> dict:
+    """Render each view and compare to ground truth.
+
+    Args:
+        views: list of dicts with image [H, W, 3], c2w, fx, fy, cx, cy
+            (GaussianDataset items work directly).
+
+    Returns:
+        dict with per-view and mean psnr/ssim/l1.
+    """
+
+    @jax.jit
+    def render_one(c2w, fx, fy, cx, cy):
+        img, _ = render_from_params(
+            params, c2w, fx, fy, cx, cy, cfg, alive=alive
+        )
+        return img
+
+    per_view = []
+    for v in views:
+        img = render_one(
+            jnp.asarray(v["c2w"]),
+            jnp.float32(v["fx"]),
+            jnp.float32(v["fy"]),
+            jnp.float32(v["cx"]),
+            jnp.float32(v["cy"]),
+        )
+        gt = jnp.asarray(v["image"])
+        per_view.append(
+            {
+                "psnr": float(psnr(img, gt)),
+                "ssim": float(ssim(img, gt)),
+                "l1": float(jnp.mean(jnp.abs(img - gt))),
+            }
+        )
+    return {
+        "psnr": float(np.mean([v["psnr"] for v in per_view])),
+        "ssim": float(np.mean([v["ssim"] for v in per_view])),
+        "l1": float(np.mean([v["l1"] for v in per_view])),
+        "per_view": per_view,
+        "num_views": len(per_view),
+    }

@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Evaluate a trained checkpoint: PSNR / SSIM / L1 over dataset views.
+
+New capability beyond the reference (which reports only training losses).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--scale_factor", type=float, default=0.5)
+    p.add_argument("--max_views", type=int, default=None)
+    p.add_argument("--max_pairs", type=int, default=2**21)
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "pallas", "xla"))
+    p.add_argument("--json", action="store_true", help="print JSON only")
+    args = p.parse_args()
+
+    from render_trained import load_params, resolve_checkpoint
+
+    from gsplat_tpu import RenderConfig
+    from gsplat_tpu.data import GaussianDataset
+    from gsplat_tpu.evaluation import evaluate_views
+
+    params, alive = load_params(resolve_checkpoint(args.checkpoint))
+    ds = GaussianDataset(args.data_dir, scale_factor=args.scale_factor)
+    cfg = RenderConfig(height=ds.height, width=ds.width,
+                       max_pairs=args.max_pairs, backend=args.backend)
+    n = len(ds) if args.max_views is None else min(len(ds), args.max_views)
+    views = [ds[i] for i in range(n)]
+    result = evaluate_views(params, views, cfg, alive=alive)
+    if args.json:
+        print(json.dumps(result))
+    else:
+        print(
+            f"{result['num_views']} views: PSNR {result['psnr']:.2f} dB  "
+            f"SSIM {result['ssim']:.4f}  L1 {result['l1']:.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
