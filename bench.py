@@ -108,8 +108,7 @@ def grad_parity_err():
         img_t.sum().backward()
         ref_grad = t["pos"].grad.numpy()
 
-        cfg = RenderConfig(height=cam["H"], width=cam["W"], max_pairs=2**15,
-                           pair_block=32)
+        cfg = RenderConfig(height=cam["H"], width=cam["W"], max_pairs=2**15)
         params = {
             k: jnp.asarray(v) for k, v in scene.items() if k != "c2w"
         }
@@ -197,6 +196,24 @@ def main():
         dt_step = (time.perf_counter() - t0) / max(args.iters // 2, 1)
         extras["fwd_bwd_fps"] = 1.0 / dt_step
         extras["rays_per_s_fwd_bwd"] = args.height * args.width / dt_step
+
+    # The reference trains at scale_factor 0.5 => 960x540 for 1080p sources;
+    # report that resolution too.
+    cfg_540 = RenderConfig(
+        height=540, width=960, max_pairs=2**20, max_per_tile=2048
+    )
+    fwd540 = jax.jit(
+        lambda p: render_from_params(
+            p, c2w, fx, fy, jnp.float32(480.0), jnp.float32(270.0), cfg_540
+        )[0]
+    )
+    img540 = fwd540(params)
+    img540.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        img540 = fwd540(params)
+    img540.block_until_ready()
+    extras["fps_960x540"] = round(args.iters / (time.perf_counter() - t0), 3)
 
     if args.parity:
         err = grad_parity_err()

@@ -192,7 +192,23 @@ def rasterize_binned_pallas(
     cfg: RenderConfig,
 ):
     """Rasterize via the Pallas TPU kernel (ops/raster_pallas.py)."""
-    from .raster_pallas import FEAT_WIDTH, composite_pairs
+    from .raster_pallas import FEAT_WIDTH, _use_interpret, composite_pairs
+
+    if not _use_interpret():
+        # Mosaic block-shape constraint: the last two dims of every block
+        # must divide (8, 128) (or span the array). Feature blocks are
+        # (16, pair_block); tile output blocks are (1, 8, tile*tile).
+        if cfg.pair_block % 128 != 0:
+            raise ValueError(
+                f"backend='pallas' on TPU requires pair_block to be a "
+                f"multiple of 128 (got {cfg.pair_block}); use the default "
+                f"128, or backend='xla'"
+            )
+        if (cfg.tile * cfg.tile) % 128 != 0:
+            raise ValueError(
+                f"backend='pallas' on TPU requires tile*tile divisible by "
+                f"128 (got tile={cfg.tile}); use tile=16, or backend='xla'"
+            )
 
     T = cfg.tile
     P = T * T
