@@ -28,8 +28,8 @@ its autograd backward (/root/reference/gaussian_splatting/render.py:325-410)
 Feature packing — FEATURE-MAJOR [16, padded_pairs] (a [pairs, 16] array
 gets the TPU T(8,128) layout: 16 lanes padded to 128 = 8x physical HBM
 amplification on every kernel block DMA; feature-major rows are dense).
-Rows (only 9 used):
-    0:u  1:v  2:conic_a  3:conic_b  4:conic_c  5:opacity  6:r  7:g  8:b
+Rows (only 10 used):
+    0:u  1:v  2:conic_a  3:conic_b  4:conic_c  5:opacity  6:r  7:g  8:b  9:depth
 Gradient packing mirrors it, so the pair-feature gather's autodiff (an XLA
 scatter-add) routes per-pair grads back to per-gaussian grads for free.
 """
@@ -127,10 +127,10 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
 
     garbage_free = first == 1  # out_ref holds garbage at first visit
     T_in = jnp.where(
-        garbage_free, jnp.ones((1, P), jnp.float32), out_ref[0, 3:4, :]
+        garbage_free, jnp.ones((1, P), jnp.float32), out_ref[0, 4:5, :]
     )
     rgb_in = jnp.where(
-        garbage_free, jnp.zeros((3, P), jnp.float32), out_ref[0, 0:3, :]
+        garbage_free, jnp.zeros((4, P), jnp.float32), out_ref[0, 0:4, :]
     )
 
     # Skip saturated tiles (every pixel's transmittance below threshold).
@@ -147,14 +147,14 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
         alive = T_excl > cfg.transmittance_min
         w = jnp.where(alive, alpha * T_excl, 0.0)
 
-        rgb = feats[:, 6:9]  # [G, 3]
+        chans = feats[:, 6:10]  # [G, 4]: rgb + depth
         contrib = jax.lax.dot_general(
-            rgb, w, (((0,), (0,)), ((), ())),
+            chans, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [3, P]
-        out_ref[0, 0:3, :] = rgb_in + contrib
-        out_ref[0, 3:4, :] = T_in * jnp.exp(
+        )  # [4, P]
+        out_ref[0, 0:4, :] = rgb_in + contrib
+        out_ref[0, 4:5, :] = T_in * jnp.exp(
             jnp.sum(s, axis=0, keepdims=True)
         )
 
@@ -168,10 +168,10 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
     P = cfg.tile * cfg.tile
 
     T_in = jnp.where(
-        first == 1, jnp.ones((1, P), jnp.float32), carry_ref[3:4, :]
+        first == 1, jnp.ones((1, P), jnp.float32), carry_ref[4:5, :]
     )
     prefix_in = jnp.where(
-        first == 1, jnp.zeros((3, P), jnp.float32), carry_ref[0:3, :]
+        first == 1, jnp.zeros((4, P), jnp.float32), carry_ref[0:4, :]
     )
 
     active = (first == 1) | (jnp.max(T_in) > cfg.transmittance_min)
@@ -184,7 +184,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
         ca = feats[:, 2:3]
         cb = feats[:, 3:4]
         op = feats[:, 5:6]
-        rgb = feats[:, 6:9]  # [G, 3]
+        rgb = feats[:, 6:10]  # [G, 4]: rgb + depth
 
         s = jnp.log1p(-alpha)
         cum = _cumsum_rows_incl(s)
@@ -192,10 +192,10 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
         alive = T_excl > cfg.transmittance_min
         w = jnp.where(alive, alpha * T_excl, 0.0)  # [G, P]
 
-        gC = gout_ref[0, 0:3, :]  # [3, P] cotangent of composited rgb
-        gT = gout_ref[0, 3:4, :]  # [1, P] cotangent of final transmittance
-        C_final = fwd_ref[0, 0:3, :]  # [3, P]
-        T_final = fwd_ref[0, 3:4, :]
+        gC = gout_ref[0, 0:4, :]  # [4, P] cotangent of rgb + depth
+        gT = gout_ref[0, 4:5, :]  # [1, P] cotangent of final transmittance
+        C_final = fwd_ref[0, 0:4, :]  # [4, P]
+        T_final = fwd_ref[0, 4:5, :]
 
         # d rgb: dL/drgb[i, c] = sum_p gC[c, p] * w[i, p]
         drgb = jax.lax.dot_general(
@@ -246,18 +246,18 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
         dfeat_ref[...] = jnp.concatenate(
             [
                 du_, dv_, dca, dcb, dcc, dop, drgb,
-                jnp.zeros((G, FEAT_WIDTH - 9), jnp.float32),
+                jnp.zeros((G, FEAT_WIDTH - 10), jnp.float32),
             ],
             axis=1,
         ).T
 
         # Advance the carry.
-        carry_ref[0:3, :] = prefix_in + jax.lax.dot_general(
+        carry_ref[0:4, :] = prefix_in + jax.lax.dot_general(
             rgb, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        carry_ref[3:4, :] = T_in * jnp.exp(
+        carry_ref[4:5, :] = T_in * jnp.exp(
             jnp.sum(s, axis=0, keepdims=True)
         )
 
@@ -333,9 +333,10 @@ def _composite_impl(pair_feat, block_tile, block_first, cfg: RenderConfig):
         cfg: static render config (non-differentiable).
 
     Returns:
-        [num_tiles, 8, tile*tile] f32: rows 0-2 composited RGB, row 3 final
-        transmittance. Tiles that own no block are NOT written — mask with
-        tile_count > 0 downstream.
+        [num_tiles, 8, tile*tile] f32: rows 0-2 composited RGB, row 3
+        accumulated depth (sum w_i * z_i), row 4 final transmittance.
+        Tiles that own no block are NOT written — mask with tile_count > 0
+        downstream.
     """
     return _fwd_pallas(pair_feat, block_tile, block_first, cfg)
 

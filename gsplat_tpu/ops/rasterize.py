@@ -35,12 +35,15 @@ from .projection import ProjectedGaussians
 
 
 class RenderAux(NamedTuple):
-    """Diagnostics emitted alongside the image (never silently truncate)."""
+    """Extra render outputs: capacity diagnostics (never silently
+    truncate) plus depth / alpha planes."""
 
     num_pairs: jnp.ndarray  # [] int32 true (gaussian, tile) pair count
     pair_capacity: int
     max_tile_count: jnp.ndarray  # [] int32 largest per-tile gaussian count
     per_tile_capacity: int
+    depth: jnp.ndarray  # [H, W] accumulated depth (sum w_i * z_i)
+    alpha: jnp.ndarray  # [H, W] opacity = 1 - final transmittance
 
 
 def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
@@ -60,7 +63,7 @@ def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
     cb = feats[..., 3:4]
     cc = feats[..., 4:5]
     op = feats[..., 5:6]
-    rgb = feats[..., 6:9]  # [C, K, 3]
+    chans = feats[..., 6:10]  # [C, K, 4]: rgb + depth
 
     # Pixel centers of each tile in the chunk: stored per-chunk in feats'
     # companion origin array is folded into u/v by the caller (u,v already
@@ -89,23 +92,27 @@ def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
     alive = (trans > cfg.transmittance_min).astype(alpha.dtype)
     w = alpha * trans * alive  # [C, K, P]
 
-    # [C, P, K] @ [C, K, 3] -> [C, P, 3]. HIGHEST precision: the weight sum
-    # is the image itself; bf16-truncated weights shift colors ~1e-3. The
-    # contraction is tiny next to the [C,K,P] elementwise work above.
-    return jnp.einsum("ckp,ckd->cpd", w, rgb, precision="highest")
+    # [C, P, K] @ [C, K, 4] -> [C, P, 4] (rgb + depth). HIGHEST precision:
+    # the weight sum is the image itself; bf16-truncated weights shift
+    # colors ~1e-3. Tiny next to the [C,K,P] elementwise work above.
+    out = jnp.einsum("ckp,ckd->cpd", w, chans, precision="highest")
+    # Final per-pixel transmittance (for the alpha plane).
+    t_final = trans[:, -1, :] * one_minus[:, -1, :]  # [C, P]
+    return jnp.concatenate([out, t_final[..., None]], axis=-1)  # [C, P, 5]
 
 
 def _pair_features(proj: ProjectedGaussians, colors: jnp.ndarray, dtype):
-    """[N, 9] per-gaussian features (u, v, conic x3, opacity, rgb)."""
+    """[N, 10] per-gaussian features (u, v, conic x3, opacity, rgb, z)."""
     feat = jnp.concatenate(
         [
             proj.uv,
             proj.conic,
             proj.opacity[:, None],
             colors,
+            proj.depth[:, None],
         ],
         axis=-1,
-    ).astype(dtype)  # [N, 9]
+    ).astype(dtype)  # [N, 10]
     # Zero invalid rows: masked (not filtered) slots may hold NaN/inf from
     # culled gaussians, and 0-weight * NaN would still poison the composite.
     return jnp.where(proj.valid[:, None], feat, 0.0)
@@ -161,26 +168,27 @@ def rasterize_binned_xla(
         coy = lax.dynamic_slice_in_dim(oy, t0, C)
         idx = jnp.clip(st[:, None] + slot[None, :], 0, cap - 1)  # [C, K]
         mask = slot[None, :] < jnp.minimum(ct, K)[:, None]
-        feats = pair_feat[idx]  # [C, K, 9]
+        feats = pair_feat[idx]  # [C, K, 10]
         # Make uv tile-local so the composite kernel works in [0, T) coords.
         local = feats.at[..., 0].add(-cox[:, None]).at[..., 1].add(-coy[:, None])
         return _composite_chunk(local, mask, cfg)  # [C, T*T, 3]
 
-    tiles_rgb = lax.map(chunk_fn, jnp.arange(num_chunks, dtype=jnp.int32))
-    # [num_chunks, C, T*T, 3] -> [tiles_y, tiles_x, T, T, 3]
-    tiles_rgb = tiles_rgb.reshape(num_chunks * C, T, T, 3)[:num_tiles]
-    img = tiles_rgb.reshape(cfg.tiles_y, cfg.tiles_x, T, T, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(
-        cfg.padded_height, cfg.padded_width, 3
-    )
-    img = img[: cfg.height, : cfg.width]
-    img = jnp.clip(img, 0.0, 1.0)
+    tiles_out = lax.map(chunk_fn, jnp.arange(num_chunks, dtype=jnp.int32))
+    # [num_chunks, C, T*T, 5] -> [tiles_y, tiles_x, T, T, 5]
+    tiles_out = tiles_out.reshape(num_chunks * C, T, T, 5)[:num_tiles]
+    planes = tiles_out.reshape(cfg.tiles_y, cfg.tiles_x, T, T, 5)
+    planes = planes.transpose(0, 2, 1, 3, 4).reshape(
+        cfg.padded_height, cfg.padded_width, 5
+    )[: cfg.height, : cfg.width]
+    img = jnp.clip(planes[..., 0:3], 0.0, 1.0)
 
     aux = RenderAux(
         num_pairs=binning.num_pairs,
         pair_capacity=cfg.max_pairs,
         max_tile_count=jnp.max(binning.tile_count),
         per_tile_capacity=K,
+        depth=planes[..., 3],
+        alpha=1.0 - planes[..., 4],
     )
     return img, aux
 
@@ -212,44 +220,49 @@ def rasterize_binned_pallas(
 
     T = cfg.tile
     P = T * T
-    feat9 = _pair_features(proj, colors, jnp.float32)[binning.depth_order]
-    n = feat9.shape[0]
+    feat10 = _pair_features(proj, colors, jnp.float32)[binning.depth_order]
+    n = feat10.shape[0]
     s_idx = binning.pair_slot
     # Feature-major pair array [16, padded_pairs]: a [pairs, 16] layout gets
     # 8x physical HBM amplification under the TPU (8, 128) tiling, which
     # multiplies both this gather's writes and every kernel block DMA.
-    # Gather/scatter stay 9 rows wide (the kernel's 7 pad rows carry no
+    # Gather/scatter stay 10 rows wide (the kernel's pad rows carry no
     # gradient; 16-wide costs ~45% more scatter-add in backward).
-    pair_feat9 = feat9.T[:, jnp.clip(s_idx, 0, n - 1)]
-    pair_feat9 = jnp.where(s_idx[None, :] >= 0, pair_feat9, 0.0)
+    pair_feat10 = feat10[jnp.clip(s_idx, 0, n - 1)].T
+    pair_feat10 = jnp.where(s_idx[None, :] >= 0, pair_feat10, 0.0)
     pair_feat = jnp.concatenate(
         [
-            pair_feat9,
-            jnp.zeros((FEAT_WIDTH - 9, s_idx.shape[0]), jnp.float32),
+            pair_feat10,
+            jnp.zeros((FEAT_WIDTH - 10, s_idx.shape[0]), jnp.float32),
         ],
         axis=0,
     )
 
     out = composite_pairs(
         pair_feat, binning.block_tile, binning.block_first, cfg
-    )  # [num_tiles, 8, P]
+    )  # [num_tiles, 8, P]: rows 0-2 rgb, 3 depth, 4 transmittance
 
     # Tiles with no pairs own no block and are never written: mask them.
     occupied = (binning.tile_count > 0)[:, None, None]
-    tiles_rgb = jnp.where(occupied, out[:, 0:3, :], 0.0)  # [num_tiles, 3, P]
+    tiles_out = jnp.where(occupied, out[:, 0:4, :], 0.0)
+    tiles_T = jnp.where(occupied[:, 0, :], out[:, 4, :], 1.0)
+    planes = jnp.concatenate(
+        [tiles_out, tiles_T[:, None, :]], axis=1
+    )  # [num_tiles, 5, P]
 
-    img = tiles_rgb.reshape(cfg.tiles_y, cfg.tiles_x, 3, T, T)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(
-        cfg.padded_height, cfg.padded_width, 3
-    )
-    img = img[: cfg.height, : cfg.width]
-    img = jnp.clip(img, 0.0, 1.0)
+    planes = planes.reshape(cfg.tiles_y, cfg.tiles_x, 5, T, T)
+    planes = planes.transpose(0, 3, 1, 4, 2).reshape(
+        cfg.padded_height, cfg.padded_width, 5
+    )[: cfg.height, : cfg.width]
+    img = jnp.clip(planes[..., 0:3], 0.0, 1.0)
 
     aux = RenderAux(
         num_pairs=binning.num_pairs,
         pair_capacity=cfg.max_pairs,
         max_tile_count=jnp.max(binning.tile_count),
         per_tile_capacity=cfg.padded_pairs,
+        depth=planes[..., 3],
+        alpha=1.0 - planes[..., 4],
     )
     return img, aux
 

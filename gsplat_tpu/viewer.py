@@ -171,8 +171,11 @@ def save_video(
 
 
 def make_render_fn(params: dict, cfg: RenderConfig, fx, fy, cx, cy,
-                   alive=None):
-    """Jitted c2w -> image closure over fixed params/intrinsics."""
+                   alive=None, with_depth: bool = False):
+    """Jitted c2w -> image closure over fixed params/intrinsics.
+
+    With ``with_depth`` the closure returns (rgb, depth, alpha) planes.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -180,9 +183,27 @@ def make_render_fn(params: dict, cfg: RenderConfig, fx, fy, cx, cy,
 
     @jax.jit
     def fn(c2w):
-        img, _ = render_from_params(
+        img, aux = render_from_params(
             params, jnp.asarray(c2w), fx, fy, cx, cy, cfg, alive=alive
         )
+        if with_depth:
+            return img, aux.depth, aux.alpha
         return img
 
     return fn
+
+
+def colorize_depth(depth: np.ndarray, alpha: np.ndarray | None = None):
+    """Normalize an accumulated-depth plane to a viewable [H, W, 3] image."""
+    d = np.asarray(depth, np.float32)
+    if alpha is not None:
+        a = np.clip(np.asarray(alpha, np.float32), 1e-3, 1.0)
+        d = d / a
+        mask = a > 0.05
+    else:
+        mask = np.isfinite(d) & (d > 0)
+    if mask.any():
+        lo, hi = np.percentile(d[mask], [2.0, 98.0])
+        d = np.clip((d - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+    d = np.where(mask, d, 0.0)
+    return np.repeat(d[..., None], 3, axis=-1)

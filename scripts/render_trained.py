@@ -73,6 +73,8 @@ def main():
     p.add_argument("--benchmark_only", action="store_true",
                    help="skip image/video IO, print FPS stats only")
     p.add_argument("--render_training_views", action="store_true")
+    p.add_argument("--save_depth", action="store_true",
+                   help="also write normalized depth maps for orbit frames")
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "xla"))
     args = p.parse_args()
@@ -152,6 +154,23 @@ def main():
             frames, os.path.join(args.output_dir, "orbit.mp4"), fps=args.fps
         )
         print(f"video/frames: {video}")
+
+    if args.save_depth:
+        from gsplat_tpu.data.images import save_image
+        from gsplat_tpu.viewer import colorize_depth
+
+        depth_fn = make_render_fn(
+            params, cfg, fx, fy, cx, cy, alive=alive, with_depth=True
+        )
+        depth_dir = os.path.join(args.output_dir, "depth")
+        os.makedirs(depth_dir, exist_ok=True)
+        for i, c2w in enumerate(traj):
+            _, depth, alpha_plane = depth_fn(np.asarray(c2w))
+            save_image(
+                os.path.join(depth_dir, f"depth_{i:05d}.png"),
+                colorize_depth(np.asarray(depth), np.asarray(alpha_plane)),
+            )
+        print(f"depth maps: {depth_dir}")
 
 
 if __name__ == "__main__":

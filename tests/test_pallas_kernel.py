@@ -101,3 +101,47 @@ def test_empty_scene_renders_black():
     params = _params(scene)
     img_p, _ = _render(params, jnp.asarray(scene["c2w"]), "pallas")
     assert float(jnp.max(jnp.abs(img_p))) == 0.0
+
+
+def test_depth_alpha_planes():
+    """Depth/alpha planes: pallas == xla, and values are physically sane."""
+    scene = make_scene(None, n=160, seed_offset=5)
+    scene["opacity_raw"] = scene["opacity_raw"] + 3.0  # mostly opaque
+    params = _params(scene)
+    c2w = jnp.asarray(scene["c2w"])
+
+    _, aux_x = _render(params, c2w, "xla")
+    _, aux_p = _render(params, c2w, "pallas")
+
+    np.testing.assert_allclose(
+        np.asarray(aux_p.depth), np.asarray(aux_x.depth), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_p.alpha), np.asarray(aux_x.alpha), atol=2e-5
+    )
+
+    alpha = np.asarray(aux_p.alpha)
+    depth = np.asarray(aux_p.depth)
+    assert alpha.min() >= -1e-6 and alpha.max() <= 1.0 + 1e-6
+    # Where opacity is high, accumulated depth must sit in the scene's
+    # z range (gaussians live at z in [3, 8] in camera-ish space).
+    solid = alpha > 0.95
+    assert solid.any()
+    mean_depth = depth[solid] / alpha[solid]
+    assert 2.0 < mean_depth.mean() < 9.0
+
+
+def test_depth_gradient_flows():
+    """A depth-supervised loss must move positions along the ray."""
+    scene = make_scene(None, n=96, seed_offset=6)
+    params = _params(scene)
+    c2w = jnp.asarray(scene["c2w"])
+
+    def depth_loss(p):
+        _, aux = _render(p, c2w, "pallas")
+        return jnp.mean(aux.depth)
+
+    g = jax.grad(depth_loss)(params)
+    gz = np.asarray(g["pos"][:, 2])
+    assert np.isfinite(gz).all()
+    assert np.abs(gz).max() > 0.0
