@@ -149,7 +149,7 @@ def main():
     cfg = RenderConfig(
         height=args.height,
         width=args.width,
-        max_pairs=3 * 2**20,  # fits the ~2.86M real pairs: no overflow drop
+        max_pairs=5 * 2**19,  # fits the ~2.2M real pairs: no overflow drop
         max_per_tile=2048,
         tile_chunk=32,
     )

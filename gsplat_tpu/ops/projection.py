@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RenderConfig
 from .camera import inv2x2_packed
@@ -186,12 +187,24 @@ def project_gaussians(
     s_a, s_b, s_c, lam_max = clamp_eigvals_2x2(s_a, s_b, s_c)
 
     # --- radius + AABB (render.py:227-247) ---
+    # The reference uses the circumscribed radius 2.5*sqrt(lambda_max) on
+    # BOTH axes. The ellipse's exact axis-aligned extents are the marginal
+    # stds 2.5*sqrt(Sigma_xx) / 2.5*sqrt(Sigma_yy) — always <= the radius,
+    # much tighter for anisotropic splats. Pixels between the two bounds
+    # satisfy q > chi2_clip (= 2.5^2) and are zeroed by the compositor's
+    # cutoff either way, so rendered images are IDENTICAL with fewer
+    # (gaussian, tile) pairs to sort/gather/composite.
+    # Bound multiplier tied to the compositor's cutoff (2.5 at the default
+    # chi2_clip = 6.25), so custom configs stay exact.
+    k_sigma = float(np.sqrt(cfg.chi2_clip))
     major = jnp.clip(lam_max, 1e-12, 1e4)
-    radius_f = jnp.ceil(2.5 * jnp.sqrt(major))
-    umin = jnp.floor(u - radius_f)
-    umax = jnp.floor(u + radius_f)
-    vmin = jnp.floor(v - radius_f)
-    vmax = jnp.floor(v + radius_f)
+    radius_f = jnp.ceil(k_sigma * jnp.sqrt(major))
+    rx = jnp.ceil(k_sigma * jnp.sqrt(jnp.clip(s_a, 1e-12, 1e4)))
+    ry = jnp.ceil(k_sigma * jnp.sqrt(jnp.clip(s_c, 1e-12, 1e4)))
+    umin = jnp.floor(u - rx)
+    umax = jnp.floor(u + rx)
+    vmin = jnp.floor(v - ry)
+    vmax = jnp.floor(v + ry)
     on_screen = (umax >= 0) & (umin < W) & (vmax >= 0) & (vmin < H)
     valid &= on_screen
 
