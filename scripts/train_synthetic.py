@@ -59,6 +59,11 @@ def main():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--max_pairs", type=int, default=2**18)
     p.add_argument("--output_dir", default=None)
+    p.add_argument("--init_fraction", type=float, default=1.0,
+                   help="start from this fraction of the GT cloud (<1 "
+                        "forces adaptive density control to grow the pool)")
+    p.add_argument("--max_grad", type=float, default=0.01,
+                   help="ADC densify gradient threshold")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -125,8 +130,16 @@ def main():
         def pointcloud_path(self):
             return None
 
-    # Noisy initialization: GT cloud positions + noise, colors kept.
+    # Noisy initialization: GT cloud positions + noise, colors kept;
+    # optionally subsampled so ADC must clone/split to recover density.
     noisy = init_cloud.copy()
+    if args.init_fraction < 1.0:
+        keep = np.random.default_rng(3).choice(
+            len(noisy), max(int(len(noisy) * args.init_fraction), 16),
+            replace=False,
+        )
+        noisy = noisy[keep]
+        print(f"sparse init: {len(noisy)} of {len(init_cloud)} points")
     noisy[:, :3] += np.random.default_rng(2).normal(0, 0.05, (len(noisy), 3))
 
     tcfg = TrainConfig(
@@ -138,6 +151,7 @@ def main():
         opacity_reset_interval=10**9,
         checkpoint_interval=10**9,
         position_lr_max_steps=args.iterations,
+        max_grad=args.max_grad,
     )
 
     t0 = time.time()
