@@ -12,9 +12,11 @@ around three measured TPU facts (v5e, 4M pairs / 131k gaussians):
   ``searchsorted`` with 4M queries is catastrophic (547 ms, scan method);
 * scatter-of-131k + 4M cumsum is cheap (~6 ms).
 
-So the pipeline is gather-free on the pair axis:
+So the pipeline is gather-free on the pair axis and sort-centric:
 
 1. Footprint counts per depth-ordered gaussian -> exclusive ``offsets``.
+   Capacity overflow drops WHOLE gaussians from the back of the depth
+   order, which keeps per-tile counts computable in closed form pre-sort.
 2. Expansion: the owning depth-slot of pair p is ``count(offsets <= p)-1``
    — a histogram of the N+1 offsets plus one cumsum (NOT searchsorted).
 3. Every per-pair value X[slot[p]] is produced by DELTA ENCODING: scatter
@@ -23,17 +25,15 @@ So the pipeline is gather-free on the pair axis:
    from empty gaussians accumulate correctly because deltas ADD). The three
    footprint fields (tile x0, y0, width) are packed 10 bits each into one
    int32 so ONE cumsum carries all three (packing is linear, so packed
-   deltas telescope exactly like scalar ones).
-4. Pairs are generated depth-major, so ONE stable sort by tile id yields
-   tile-major, depth-ordered-within-tile runs.
-5. Tile [start, end) ranges: one searchsorted with num_tiles+1 queries
-   (runs are contiguous, so end[t] = start[t+1]).
-6. For the Pallas rasterizer the sorted list is scattered into a
-   BLOCK-ALIGNED layout: every tile's run is padded to a multiple of
-   ``cfg.pair_block`` so each fixed-size block of pairs belongs to exactly
-   one tile (scatter indices are sorted+unique — flags let XLA skip its
-   dedup passes). Per-block metadata (owning tile, is-first flag) is
-   emitted for scalar prefetch.
+   deltas telescope exactly like scalar ones). All three scatter->cumsum
+   passes share one [3, cap+1] array and one cumsum.
+4. Exact per-tile counts BEFORE the sort: signed footprint-rectangle
+   corners scattered into a (tiles_y+1, tiles_x+1) grid + 2D prefix sum.
+5. Block alignment comes from the SORT itself: explicit padding pairs
+   (keyed to land right after each tile's real pairs) make every tile's
+   run a multiple of ``cfg.pair_block``, so one stable sort emits the
+   aligned layout directly — no scatter pass, no boundary searchsorted.
+6. Per-block metadata (owning tile, is-first flag) for scalar prefetch.
 
 Overflow is never silent: `num_pairs` (actual) and `capacity` are both
 reported; pairs past capacity are dropped deterministically from the BACK of
@@ -87,36 +87,6 @@ def depth_order_and_rank(depth: jnp.ndarray, valid: jnp.ndarray):
         jnp.arange(n, dtype=jnp.int32)
     )
     return order.astype(jnp.int32), rank
-
-
-def _expand_slots(offsets: jnp.ndarray, cap: int, n: int) -> jnp.ndarray:
-    """slot[p] = which of the N ranges [offsets[i], offsets[i+1]) holds p.
-
-    Histogram + cumsum formulation of ``searchsorted(offsets, p, 'right')-1``
-    exploiting that queries are the dense range [0, cap). Returns n for
-    p >= offsets[-1] (invalid marker).
-    """
-    hist = jnp.zeros(cap + 1, jnp.int32).at[
-        jnp.clip(offsets, 0, cap)
-    ].add(1)
-    return jnp.cumsum(hist)[:cap] - 1
-
-
-def _owner_values(values: jnp.ndarray, offsets: jnp.ndarray, cap: int):
-    """val[p] = values[owner(p)] without a pairs-sized gather.
-
-    ``values`` has shape [N]; owner(p) is the gaussian whose pair range
-    [offsets[i], offsets[i+1]) contains p. Delta encoding + scatter-add +
-    cumsum telescopes exactly (int32 arithmetic); positions past the last
-    offset carry the final gaussian's value — callers mask those.
-    """
-    delta = jnp.concatenate([values[:1], values[1:] - values[:-1]])
-    # mode='drop' discards deltas at positions >= cap (capacity overflow) —
-    # do NOT clip them in range, that would corrupt the last slot's value.
-    arr = jnp.zeros(cap, values.dtype).at[offsets[:-1]].add(
-        delta, mode="drop"
-    )
-    return jnp.cumsum(arr)
 
 
 def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
