@@ -1,0 +1,146 @@
+"""Viewer / evaluation / utils coverage: orbits, look-at geometry, PSNR,
+metrics logging, camera helpers vs the reference."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from gsplat_tpu.evaluation import psnr
+from gsplat_tpu.utils import MetricsLogger, benchmark_fn
+from gsplat_tpu.viewer import (
+    colorize_depth,
+    create_orbit_trajectory,
+    estimate_scene_center_radius,
+    look_at,
+)
+
+
+def test_look_at_geometry():
+    c2w = look_at(np.array([0.0, 0.0, -5.0]), np.zeros(3))
+    R = c2w[:3, :3]
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-6)
+    # Forward column (z) points from camera to target.
+    np.testing.assert_allclose(c2w[:3, 2], [0, 0, 1], atol=1e-6)
+    # Reference convention: camera y = -up (render_trained.py:69).
+    np.testing.assert_allclose(c2w[:3, 1], [0, -1, 0], atol=1e-6)
+    np.testing.assert_allclose(c2w[:3, 3], [0, 0, -5.0], atol=1e-6)
+
+
+def test_orbit_trajectory():
+    center = np.array([1.0, 2.0, 3.0])
+    traj = create_orbit_trajectory(center, radius=4.0, num_frames=8)
+    assert traj.shape == (8, 4, 4)
+    dists = np.linalg.norm(traj[:, :3, 3] - center, axis=1)
+    np.testing.assert_allclose(dists, 4.0, rtol=1e-5)
+    for c2w in traj:
+        R = c2w[:3, :3]
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+        # Each camera looks at the center.
+        to_center = center - c2w[:3, 3]
+        to_center /= np.linalg.norm(to_center)
+        np.testing.assert_allclose(c2w[:3, 2], to_center, atol=1e-5)
+
+
+def test_scene_center_radius():
+    # Cameras on a ring of radius 6 looking inward.
+    c2ws = create_orbit_trajectory(np.zeros(3), 6.0, num_frames=12)
+    center, radius = estimate_scene_center_radius(c2w_matrices=c2ws)
+    assert np.linalg.norm(center) < 1.5
+    assert 3.0 <= radius <= 20.0
+    # Fallback: positions only.
+    pts = np.random.default_rng(0).normal(0, 1, (500, 3)) + [5, 0, 0]
+    center2, radius2 = estimate_scene_center_radius(positions=pts)
+    assert abs(center2[0] - 5.0) < 0.5
+    assert radius2 >= 3.0
+
+
+def test_psnr():
+    import jax.numpy as jnp
+
+    a = jnp.zeros((8, 8, 3))
+    assert float(psnr(a, a)) > 100.0
+    b = a + 0.1
+    np.testing.assert_allclose(float(psnr(b, a)), 20.0, atol=1e-3)
+
+
+def test_colorize_depth():
+    depth = np.linspace(2, 8, 64).reshape(8, 8)
+    alpha = np.ones((8, 8))
+    img = colorize_depth(depth, alpha)
+    assert img.shape == (8, 8, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert img[0, 0, 0] < img[-1, -1, 0]  # monotone with depth
+
+
+def test_metrics_logger(tmp_path):
+    buf = io.StringIO()
+    with MetricsLogger(log_dir=str(tmp_path), name="t", stream=buf) as m:
+        m.log(1, loss=0.5)
+        m.log(2, loss=0.25, n=7)
+    lines = open(os.path.join(str(tmp_path), "t_metrics.jsonl")).readlines()
+    assert len(lines) == 2
+    import json
+
+    rec = json.loads(lines[1])
+    assert rec["step"] == 2 and rec["loss"] == 0.25 and rec["n"] == 7
+    assert "loss 0.25000" in buf.getvalue()
+
+
+def test_benchmark_fn():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x * 2.0)
+    stats = benchmark_fn(f, jnp.ones(64), iters=3, warmup=1, pixels=64)
+    assert stats["iters"] == 3
+    assert stats["fps"] > 0 and stats["rays_per_s"] > 0
+
+
+def test_camera_utils_vs_reference(ref, torch, rng):
+    """scale_intrinsics + frustum check parity (SURVEY C4)."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu.ops import scale_intrinsics
+    from gsplat_tpu.ops.camera import (
+        check_frustum_camera_space,
+        transform_to_camera_space,
+    )
+
+    args = (240, 320, 480, 640, 100.0, 110.0, 64.0, 48.0)
+    ours = scale_intrinsics(*args)
+    theirs = ref.scale_intrinsics(*args)
+    assert tuple(float(v) for v in ours) == tuple(
+        float(v) for v in theirs
+    )
+
+    pts = rng.normal(0, 3, (256, 3)).astype(np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.5, -0.2, -4.0]
+    x, y, z = transform_to_camera_space(jnp.asarray(pts), jnp.asarray(c2w))
+    from gaussian_splatting.utils import (
+        check_frustum_camera_space as ref_frustum,
+        transform_to_camera_space as ref_transform,
+    )
+
+    rx, ry, rz = ref_transform(torch.from_numpy(pts), torch.from_numpy(c2w))
+    np.testing.assert_allclose(np.asarray(x), rx.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), ry.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), rz.numpy(), atol=1e-5)
+
+    mask_ours = np.asarray(
+        check_frustum_camera_space(
+            x, y, z, 120.0, 120.0, 64.0, 64.0, 128, 128,
+            near=0.01, far=100.0, pix_guard=32.0,
+        )
+    )
+    mask_ref = (
+        ref_frustum(
+            rx, ry, rz, 120.0, 120.0, 64.0, 64.0, 128, 128,
+            near=0.01, far=100.0, pix_guard=32.0,
+        )
+        .numpy()
+        .astype(bool)
+    )
+    np.testing.assert_array_equal(mask_ours, mask_ref)
