@@ -138,6 +138,12 @@ def fit(
     )
 
     report = FitReport()
+    metrics_log = None
+    if output_dir:
+        from ..utils.logging import MetricsLogger
+
+        metrics_log = MetricsLogger(log_dir=output_dir, name="train",
+                                    stream=open(os.devnull, "w"))
     key = jax.random.PRNGKey(seed)
     # Accumulated position-gradient magnitudes between ADC boundaries; the
     # reference uses the gradient at the densification step only
@@ -168,6 +174,14 @@ def fit(
                 f"iter {it:6d}  loss {loss:.5f}  l1 {float(metrics['l1']):.5f}"
                 f"  ssim {float(metrics['ssim']):.5f}  gaussians {n_alive}"
             )
+            if metrics_log is not None:
+                metrics_log.log(
+                    it,
+                    total=loss,
+                    l1=float(metrics["l1"]),
+                    ssim=float(metrics["ssim"]),
+                    gaussians=n_alive,
+                )
 
         # --- ADC schedule (train.py:543-574) ---
         if (
@@ -202,6 +216,8 @@ def fit(
             save_checkpoint(path, state)
             report.checkpoints.append(path)
 
+    if metrics_log is not None:
+        metrics_log.close()
     if output_dir:
         path = os.path.join(output_dir, "checkpoint_final.npz")
         save_checkpoint(path, state)
