@@ -194,13 +194,22 @@ def project_gaussians(
     # satisfy q > chi2_clip (= 2.5^2) and are zeroed by the compositor's
     # cutoff either way, so rendered images are IDENTICAL with fewer
     # (gaussian, tile) pairs to sort/gather/composite.
-    # Bound multiplier tied to the compositor's cutoff (2.5 at the default
-    # chi2_clip = 6.25), so custom configs stay exact.
-    k_sigma = float(np.sqrt(cfg.chi2_clip))
+    # Bound radius tied to the compositor's cutoffs, per gaussian:
+    # contributions vanish beyond q > chi2_clip AND beyond
+    # op * exp(-q/2) < alpha_cutoff  =>  q > 2*ln(op/alpha_cutoff) — for
+    # dim gaussians the opacity bound is much tighter than 2.5 sigma.
+    # Every excluded pixel is zeroed by the compositor either way, so
+    # images and gradients are unchanged; only dead pairs disappear.
+    k2 = jnp.minimum(
+        cfg.chi2_clip,
+        2.0 * jnp.log(jnp.maximum(opacity, 1e-12) / cfg.alpha_cutoff),
+    )
+    valid &= k2 > 0.0  # opacity <= cutoff: zero contribution everywhere
+    k2 = jnp.maximum(k2, 0.0)
     major = jnp.clip(lam_max, 1e-12, 1e4)
-    radius_f = jnp.ceil(k_sigma * jnp.sqrt(major))
-    rx = jnp.ceil(k_sigma * jnp.sqrt(jnp.clip(s_a, 1e-12, 1e4)))
-    ry = jnp.ceil(k_sigma * jnp.sqrt(jnp.clip(s_c, 1e-12, 1e4)))
+    radius_f = jnp.ceil(jnp.sqrt(k2 * major))
+    rx = jnp.ceil(jnp.sqrt(k2 * jnp.clip(s_a, 1e-12, 1e4)))
+    ry = jnp.ceil(jnp.sqrt(k2 * jnp.clip(s_c, 1e-12, 1e4)))
     umin = jnp.floor(u - rx)
     umax = jnp.floor(u + rx)
     vmin = jnp.floor(v - ry)
