@@ -102,9 +102,9 @@ def make_sharded_train_step(
                 )
                 return carry, (total, comps["l1"], comps["ssim"])
 
-            _, (totals, l1s, ssims) = jax.lax.scan(
-                jax.checkpoint(view_loss), 0.0, batch
-            )
+            # No outer remat: the rasterizer's VJP keeps O(pixels)
+            # residuals (see train/trainer.py note).
+            _, (totals, l1s, ssims) = jax.lax.scan(view_loss, 0.0, batch)
             return jnp.mean(totals), (jnp.mean(l1s), jnp.mean(ssims))
 
         (loss, (l1, ssim)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -245,9 +245,9 @@ def make_gauss_sharded_train_step(
                 )
                 return carry, (total, comps["l1"], comps["ssim"])
 
-            _, (totals, l1s, ssims) = jax.lax.scan(
-                jax.checkpoint(view_loss), 0.0, batch
-            )
+            # No outer remat: the rasterizer's VJP keeps O(pixels)
+            # residuals (see train/trainer.py note).
+            _, (totals, l1s, ssims) = jax.lax.scan(view_loss, 0.0, batch)
             return jnp.mean(totals), (jnp.mean(l1s), jnp.mean(ssims))
 
         (loss, (l1, ssim)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

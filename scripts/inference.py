@@ -42,7 +42,10 @@ def main():
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--scale_factor", type=float, default=0.5,
-                   help="resolution divisor applied to dataset intrinsics")
+                   help="resolution MULTIPLIER (0.5 = half size). NOTE: the "
+                        "reference's inference.py used an integer divisor; "
+                        "this framework uses the multiplier convention "
+                        "everywhere")
     p.add_argument("--max_pairs", type=int, default=2**21)
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "xla"))
