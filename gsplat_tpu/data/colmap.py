@@ -23,7 +23,7 @@ import subprocess
 
 import numpy as np
 
-from .images import list_images, load_image, save_image
+from .images import load_image, save_image
 from .pointcloud import write_ply
 
 # model_id -> (name, num_params); params ordering per COLMAP docs.

@@ -25,7 +25,6 @@ DCN, tile on ICI).
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

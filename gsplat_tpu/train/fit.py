@@ -18,14 +18,14 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import RenderConfig, TrainConfig
-from ..models.gaussians import GaussianPool, init_pool_from_points
+from ..models.gaussians import init_pool_from_points
 from .trainer import (
     TrainState,
     adc_step,

@@ -21,7 +21,6 @@ optimizer state IS checkpointed (SURVEY §5.4 gap).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple
 
 import jax
