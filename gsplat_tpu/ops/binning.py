@@ -232,10 +232,15 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
         pair_slot = jnp.where(pair_slot == n, -1, pair_slot)
 
     # Per-block metadata: owning tile + first-block flag (scalar prefetch).
+    # block_tile[b] = searchsorted(padded_start, b*G, 'right') - 1, but
+    # padded_start values are multiples of G, so a histogram over block
+    # indices + cumsum does it without the (measured ~5 ms) vmapped binary
+    # search: count of starts <= b*G == count of starts//G <= b.
     b0 = jnp.arange(num_blocks, dtype=jnp.int32) * G
-    block_tile = (
-        jnp.searchsorted(padded_start, b0, side="right").astype(jnp.int32) - 1
-    )
+    bhist = jnp.zeros(num_blocks + 1, jnp.int32).at[
+        jnp.clip(padded_start // G, 0, num_blocks)
+    ].add(1)
+    block_tile = jnp.cumsum(bhist)[:num_blocks] - 1
     block_used = b0 < padded_start[num_tiles]
     block_tile = jnp.clip(block_tile, 0, num_tiles - 1)
     block_first = (b0 == padded_start[block_tile]) & block_used

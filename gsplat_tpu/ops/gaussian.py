@@ -68,12 +68,44 @@ def build_sigma_from_params(scale_raw: jnp.ndarray, q_raw: jnp.ndarray) -> jnp.n
 def build_cov3d_packed(scale_raw: jnp.ndarray, q_raw: jnp.ndarray) -> jnp.ndarray:
     """Packed covariance: [N, 6] = (xx, xy, xz, yy, yz, zz) of Sigma.
 
-    Same math as :func:`build_sigma_from_params` but avoids the [N,3,3]
-    layout; every output element is an elementwise (VPU) expression, which is
-    what XLA fuses best on TPU.
+    Same math as :func:`build_sigma_from_params` but with every output
+    element an elementwise (VPU) expression — Sigma_ab = sum_k s2_k R_ak R_bk
+    over the quaternion-derived rotation entries. Batched 3x3 matmuls are
+    MXU-hostile (measured ~5 ms/frame at 131k gaussians vs ~0 fused).
     """
-    sigma = build_sigma_from_params(scale_raw, q_raw)
-    return pack_cov3d(sigma)
+    q = normalize_quat(q_raw)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx_, yy_, zz_ = x * x, y * y, z * z
+    xy_, xz_, yz_ = x * y, x * z, y * z
+    xw_, yw_, zw_ = x * w, y * w, z * w
+    # Rotation matrix entries R[a][k] (reference gaussian.py:24-68 layout).
+    r00 = 1 - 2 * (yy_ + zz_)
+    r01 = 2 * (xy_ - zw_)
+    r02 = 2 * (xz_ + yw_)
+    r10 = 2 * (xy_ + zw_)
+    r11 = 1 - 2 * (xx_ + zz_)
+    r12 = 2 * (yz_ - xw_)
+    r20 = 2 * (xz_ - yw_)
+    r21 = 2 * (yz_ + xw_)
+    r22 = 1 - 2 * (xx_ + yy_)
+
+    s2 = exp_scale(scale_raw) ** 2
+    s0, s1, s2_ = s2[..., 0], s2[..., 1], s2[..., 2]
+
+    def sig(a0, a1, a2, b0, b1, b2):
+        return s0 * a0 * b0 + s1 * a1 * b1 + s2_ * a2 * b2
+
+    return jnp.stack(
+        [
+            sig(r00, r01, r02, r00, r01, r02),  # xx
+            sig(r00, r01, r02, r10, r11, r12),  # xy
+            sig(r00, r01, r02, r20, r21, r22),  # xz
+            sig(r10, r11, r12, r10, r11, r12),  # yy
+            sig(r10, r11, r12, r20, r21, r22),  # yz
+            sig(r20, r21, r22, r20, r21, r22),  # zz
+        ],
+        axis=-1,
+    )
 
 
 def pack_cov3d(sigma: jnp.ndarray) -> jnp.ndarray:
