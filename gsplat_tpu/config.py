@@ -54,6 +54,20 @@ class RenderConfig:
     pair_block: int = 128
     backend: str = "auto"
 
+    def __post_init__(self):
+        # The binning pipeline packs (tile_x0, tile_y0, footprint_width) into
+        # 10 bits each for its single-cumsum delta encoding
+        # (ops/binning.py); a tile grid >= 1024 per axis would silently
+        # corrupt tile ids. 1023 tiles * 16 px = ~16k px per axis — reject
+        # loudly rather than scramble pairs.
+        if self.tiles_x >= 1024 or self.tiles_y >= 1024:
+            raise ValueError(
+                f"tile grid {self.tiles_x}x{self.tiles_y} exceeds the "
+                f"1023-tile-per-axis limit of the packed binning encoding "
+                f"(image {self.width}x{self.height}, tile {self.tile}); "
+                f"use a larger tile size"
+            )
+
     @property
     def padded_pairs(self) -> int:
         """Static capacity of the block-aligned pair list."""

@@ -25,7 +25,7 @@ from typing import Iterator
 
 import numpy as np
 
-from .images import list_images, load_image
+from .images import list_images, load_image, resize_image
 
 
 def load_camera_parameters(cam_meta_path: str) -> dict:
@@ -103,7 +103,11 @@ class GaussianDataset:
         else:
             img = self._load_view_image(idx)
             if img.shape[:2] != (self.height, self.width):
-                img = _crop_or_pad(img, self.height, self.width)
+                # Heterogeneous per-view sizes (common in raw COLMAP output):
+                # rescale to the dataset's static shape like the reference
+                # rescales each view independently (data_loader.py:241-249).
+                # Crop/pad would silently corrupt the ground truth.
+                img = resize_image(img, self.height, self.width)
             if self._cache is not None:
                 self._cache[idx] = img
         return {
@@ -160,12 +164,3 @@ class GaussianDataset:
             if os.path.exists(p):
                 return p
         return None
-
-
-def _crop_or_pad(img: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Force an image to (h, w): crop overflow, zero-pad shortfall."""
-    out = np.zeros((h, w, 3), np.float32)
-    ch = min(h, img.shape[0])
-    cw = min(w, img.shape[1])
-    out[:ch, :cw] = img[:ch, :cw]
-    return out

@@ -61,6 +61,24 @@ def save_image(path: str, img: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+def resize_image(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Bilinear resize a float [H, W, 3] image to an exact (height, width).
+
+    Used to standardize heterogeneous per-view sizes to the dataset's static
+    shape — the reference rescales every view independently
+    (data_loader.py:241-249); cropping or zero-padding would corrupt the
+    ground truth instead.
+    """
+    img = np.asarray(img, np.float32)
+    if img.shape[:2] == (height, width):
+        return img
+    if _HAS_PIL:
+        arr = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        with Image.fromarray(arr).resize((width, height), Image.BILINEAR) as im:
+            return np.asarray(im, np.float32) / 255.0
+    return _resize_bilinear_to(img, height, width)
+
+
 def _to_rgb(img: np.ndarray) -> np.ndarray:
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
@@ -70,12 +88,18 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def _rescale_bilinear(img: np.ndarray, scale: float) -> np.ndarray:
-    """Separable bilinear resize (numpy; used for .npy inputs only)."""
+    """Separable bilinear resize by a scale factor (numpy fallback)."""
     h, w = img.shape[:2]
     nh = max(int(round(h * scale)), 1)
     nw = max(int(round(w * scale)), 1)
-    ys = (np.arange(nh) + 0.5) / scale - 0.5
-    xs = (np.arange(nw) + 0.5) / scale - 0.5
+    return _resize_bilinear_to(img, nh, nw)
+
+
+def _resize_bilinear_to(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Separable bilinear resize to an exact target (numpy fallback)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(nh) + 0.5) * (h / nh) - 0.5
+    xs = (np.arange(nw) + 0.5) * (w / nw) - 0.5
     y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
     y1 = np.clip(y0 + 1, 0, h - 1)
     x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)

@@ -32,8 +32,10 @@ def load_poses_bounds(path: str) -> dict:
     NOTE the reference (prepare_mipnerf360.py:167-180) reads the first 12
     values directly as a 3x4 c2w and the last 3 as (h, w, f); the true LLFF
     layout interleaves the hwf column inside the 3x5 block. We parse the
-    real LLFF layout and also convert the LLFF axis order to the standard
-    (right, up, backwards) OpenGL-style c2w the renderer expects.
+    real LLFF layout and convert the LLFF axis order to the renderer's
+    z-forward OpenCV convention (right, down, forward) — the same
+    convention data/colmap.py and viewer.look_at emit, and the one
+    ops/projection.py culls against (in_front = z > 0).
     """
     pb = np.load(path)
     n = pb.shape[0]
@@ -41,9 +43,11 @@ def load_poses_bounds(path: str) -> dict:
     bounds = pb[:, 15:17]
     hwf = mat[:, :, 4]  # [N, 3] = (height, width, focal)
     poses = mat[:, :, :4]  # [N, 3, 4] in LLFF axes (down, right, back)
-    # LLFF -> standard: columns (c1, c0, -c2) i.e. [right, up, back].
+    # LLFF columns (c0, c1, c2) = (down, right, back) -> OpenCV z-forward
+    # columns (right, down, forward) = (c1, c0, -c2). Translation unchanged.
     fixed = np.concatenate(
-        [poses[:, :, 1:2], -poses[:, :, 0:1], poses[:, :, 2:4]], axis=2
+        [poses[:, :, 1:2], poses[:, :, 0:1], -poses[:, :, 2:3],
+         poses[:, :, 3:4]], axis=2
     )
     c2w = np.zeros((n, 4, 4), np.float32)
     c2w[:, :3, :4] = fixed
@@ -74,17 +78,26 @@ def load_transforms_json(path: str) -> dict:
     return out
 
 
-def _pick_image_dir(input_dir: str, downsample: int) -> str:
+def _pick_image_dir(input_dir: str, downsample: int) -> tuple[str, int]:
     """Prefer pre-downsampled images_N directories when present
-    (prepare_mipnerf360.py:303-312)."""
+    (prepare_mipnerf360.py:303-312).
+
+    Returns (dir, effective_downsample): the factor the chosen directory's
+    images are ALREADY downsampled by relative to the full-res originals
+    that poses_bounds.npy describes. When only an images_N directory exists
+    the effective factor is N even if the caller asked for 1 — the caller
+    must fold it into intrinsic scaling or projection silently breaks.
+    """
     if downsample > 1:
         cand = os.path.join(input_dir, f"images_{downsample}")
         if os.path.isdir(cand):
-            return cand
-    for name in ("images", "images_2", "images_4", "images_8"):
+            return cand, downsample
+    for name, native in (
+        ("images", 1), ("images_2", 2), ("images_4", 4), ("images_8", 8)
+    ):
         cand = os.path.join(input_dir, name)
         if os.path.isdir(cand):
-            return cand
+            return cand, native
     raise FileNotFoundError(f"no images directory under {input_dir}")
 
 
@@ -107,14 +120,15 @@ def prepare_mipnerf360_dataset(
     pb_path = os.path.join(input_dir, "poses_bounds.npy")
     tj_path = os.path.join(input_dir, "transforms_train.json")
 
-    image_dir = _pick_image_dir(input_dir, image_downsample)
+    image_dir, native_ds = _pick_image_dir(input_dir, image_downsample)
     image_paths = list_images(image_dir)
-    pre_downsampled = os.path.basename(image_dir) != "images"
-    scale = 1.0 if pre_downsampled else 1.0 / max(image_downsample, 1)
-    # Focal length scaling must account for BOTH pre-downsampled source dirs
-    # and on-the-fly rescaling: either way the final images are 1/downsample
-    # of the original that poses_bounds describes.
-    intrinsic_scale = 1.0 / max(image_downsample, 1)
+    # The chosen directory's images are already 1/native_ds of the full-res
+    # originals that poses_bounds describes. Rescale on the fly only for the
+    # remaining factor (never upsample), and fold the TOTAL factor into the
+    # intrinsics so cam_meta always matches the emitted pixels.
+    total_ds = max(image_downsample, native_ds, 1)
+    scale = native_ds / total_ds
+    intrinsic_scale = 1.0 / total_ds
 
     if os.path.exists(pb_path):
         poses_data = load_poses_bounds(pb_path)
@@ -139,8 +153,10 @@ def prepare_mipnerf360_dataset(
             raise ValueError("transforms json lacks focal information")
         first = load_image(image_paths[0], scale)
         height, width = first.shape[:2]
-        cx = tj.get("cx", width / 2.0) * intrinsic_scale
-        cy = tj.get("cy", height / 2.0) * intrinsic_scale
+        # width/height above are ALREADY downsampled (loaded pixels); only
+        # scale cx/cy when they come from the json (full-res values).
+        cx = tj["cx"] * intrinsic_scale if "cx" in tj else width / 2.0
+        cy = tj["cy"] * intrinsic_scale if "cy" in tj else height / 2.0
     else:
         raise FileNotFoundError(
             f"{input_dir}: neither poses_bounds.npy nor transforms_train.json"

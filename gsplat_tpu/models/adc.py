@@ -61,7 +61,16 @@ def densify_and_prune(
     prune = pool.alive & (opacity < opacity_threshold)
     alive = pool.alive & ~prune
 
-    grad_norm = jnp.linalg.norm(pos_grad, axis=-1)
+    # Accept either raw gradient vectors [cap, 3] or a precomputed per-slot
+    # norm statistic [cap]. Callers accumulating over an ADC interval must
+    # accumulate NORMS (mean/EMA of per-step ||g||), not signed vectors —
+    # oscillating gradients cancel in a vector EMA and under-densify
+    # high-error regions (the reference reads the instantaneous ||.grad||,
+    # train.py:543-553).
+    grad_norm = (
+        pos_grad if pos_grad.ndim == 1
+        else jnp.linalg.norm(pos_grad, axis=-1)
+    )
     scales = jnp.exp(params["scale_raw"])
     max_scale = jnp.max(scales, axis=-1)
     high_grad = grad_norm > max_grad

@@ -145,10 +145,13 @@ def fit(
         metrics_log = MetricsLogger(log_dir=output_dir, name="train",
                                     stream=open(os.devnull, "w"))
     key = jax.random.PRNGKey(seed)
-    # Accumulated position-gradient magnitudes between ADC boundaries; the
+    # Accumulated position-gradient NORMS between ADC boundaries; the
     # reference uses the gradient at the densification step only
-    # (train.py:543-553) — an EMA over the interval is strictly more stable.
+    # (train.py:543-553) — an EMA of per-step ||g|| over the interval is
+    # strictly more stable. Norms (not signed vectors) so oscillating
+    # gradients don't cancel.
     pos_grad_accum = None
+    _grad_norm = jax.jit(lambda g: jnp.linalg.norm(g, axis=-1))
     start = int(state.step)
     log_fn(
         f"training: {train_cfg.iterations} iters, batch "
@@ -161,7 +164,7 @@ def fit(
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
 
-        g = metrics["pos_grad"]
+        g = _grad_norm(metrics["pos_grad"])
         pos_grad_accum = g if pos_grad_accum is None else (
             0.5 * pos_grad_accum + 0.5 * g
         )

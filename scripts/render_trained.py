@@ -56,6 +56,19 @@ def load_params(path: str):
     return params, None
 
 
+def apply_resolution_override(H, W, fx, fy, cx, cy, height=None, width=None):
+    """Apply CLI --height/--width, rescaling intrinsics to keep the FOV
+    (reference render_trained.py:195-203 via scale_intrinsics)."""
+    if (height and height != H) or (width and width != W):
+        from gsplat_tpu.ops.camera import scale_intrinsics
+
+        H_new = height or H
+        W_new = width or W
+        fx, fy, cx, cy = scale_intrinsics(H_new, W_new, H, W, fx, fy, cx, cy)
+        H, W = H_new, W_new
+    return H, W, fx, fy, cx, cy
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True,
@@ -111,10 +124,9 @@ def main():
         W = args.width or 1920
         fx = fy = 0.85 * W
         cx, cy = W / 2.0, H / 2.0
-    if args.height:
-        H = args.height
-    if args.width:
-        W = args.width
+    H, W, fx, fy, cx, cy = apply_resolution_override(
+        H, W, fx, fy, cx, cy, args.height, args.width
+    )
 
     cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
                        backend=args.backend)

@@ -128,15 +128,16 @@ def test_colmap_pose_inversion():
 
 
 def test_poses_bounds_parsing(tmp_path):
-    """LLFF 3x5 layout: c2w columns remapped (down,right,back)->(right,up,back)."""
+    """LLFF 3x5 layout: c2w columns remapped (down,right,back) -> the
+    renderer's OpenCV z-forward (right,down,forward) convention."""
     n = 4
     rng = np.random.default_rng(3)
     pb = np.zeros((n, 17))
     for i in range(n):
         m = np.zeros((3, 5))
-        m[:, 0] = [0, -1, 0]  # LLFF col0 = down = -up
-        m[:, 1] = [1, 0, 0]  # LLFF col1 = right
-        m[:, 2] = [0, 0, 1]  # back
+        m[:, 0] = [0, -1, 0]  # LLFF col0 = camera-down in world
+        m[:, 1] = [1, 0, 0]  # LLFF col1 = camera-right in world
+        m[:, 2] = [0, 0, 1]  # LLFF col2 = camera-back in world
         m[:, 3] = rng.normal(0, 1, 3)  # position
         m[:, 4] = [480, 640, 555.0]  # h, w, f
         pb[i, :15] = m.reshape(-1)
@@ -146,10 +147,38 @@ def test_poses_bounds_parsing(tmp_path):
     out = load_poses_bounds(path)
     assert out["num_images"] == n
     c2w = out["c2w"][0]
-    # right=(1,0,0), up=(0,1,0), back=(0,0,1) after conversion
+    # right=(1,0,0), down=(0,-1,0), forward=(0,0,-1) after conversion
     np.testing.assert_allclose(c2w[:3, 0], [1, 0, 0], atol=1e-6)
-    np.testing.assert_allclose(c2w[:3, 1], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(c2w[:3, 1], [0, -1, 0], atol=1e-6)
+    np.testing.assert_allclose(c2w[:3, 2], [0, 0, -1], atol=1e-6)
     np.testing.assert_allclose(out["hwf"][0], [480, 640, 555.0])
+
+
+def test_poses_bounds_camera_faces_scene(tmp_path):
+    """Geometric round-trip: an LLFF camera at (0,0,-4) looking at the
+    origin must put the origin IN FRONT (camera z > 0) and on the optical
+    axis after conversion — the renderer culls with in_front = z > 0
+    (ops/projection.py), so a wrong axis conversion makes every scene
+    point cull away (ADVICE round-1 high finding)."""
+    # Camera sits at -4 on world z, looks toward +z (at the origin).
+    # OpenCV camera axes in world: right=(1,0,0), down=(0,-1,0),
+    # forward=(0,0,1). LLFF stores (down, right, back):
+    m = np.zeros((3, 5))
+    m[:, 0] = [0, -1, 0]  # down
+    m[:, 1] = [1, 0, 0]  # right
+    m[:, 2] = [0, 0, -1]  # back = -forward
+    m[:, 3] = [0, 0, -4.0]
+    m[:, 4] = [480, 640, 555.0]
+    pb = np.zeros((1, 17))
+    pb[0, :15] = m.reshape(-1)
+    pb[0, 15:] = [0.5, 10.0]
+    path = str(tmp_path / "poses_bounds.npy")
+    np.save(path, pb)
+    c2w = load_poses_bounds(path)["c2w"][0]
+    w2c = np.linalg.inv(c2w)
+    origin_cam = (w2c @ np.array([0.0, 0.0, 0.0, 1.0]))[:3]
+    assert origin_cam[2] > 0, f"scene center behind camera: {origin_cam}"
+    np.testing.assert_allclose(origin_cam, [0, 0, 4.0], atol=1e-5)
 
 
 def _make_dataset_dir(tmp_path, n_views=3, h=32, w=40):
@@ -268,3 +297,62 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
         np.asarray(restored.pool.params["pos"]),
         np.asarray(state.pool.params["pos"]),
     )
+
+
+def test_mismatched_view_rescaled_not_padded(tmp_path):
+    """A view with a different native size must be RESCALED to the dataset
+    shape (reference data_loader.py:241-249), never cropped or zero-padded
+    (round-1 VERDICT Missing #2)."""
+    d = str(tmp_path / "scene")
+    os.makedirs(os.path.join(d, "images"))
+    h, w = 24, 32
+    # First view sets the standard shape; second is 2x in each dim and
+    # uniformly bright — padding would leave zero rows, rescale keeps ~0.8.
+    save_image(
+        os.path.join(d, "images", "000.png"),
+        np.full((h, w, 3), 0.5, np.float32),
+    )
+    save_image(
+        os.path.join(d, "images", "001.png"),
+        np.full((2 * h, 2 * w, 3), 0.8, np.float32),
+    )
+    np.save(
+        os.path.join(d, "poses.npy"),
+        np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)),
+    )
+    np.save(
+        os.path.join(d, "cam_meta.npy"),
+        {"fx": 30.0, "fy": 30.0, "width": w, "height": h},
+        allow_pickle=True,
+    )
+    ds = GaussianDataset(d, scale_factor=1.0)
+    img = ds[1]["image"]
+    assert img.shape == (h, w, 3)
+    # Every region keeps the source brightness (no zero padding anywhere).
+    assert img.min() > 0.7
+    np.testing.assert_allclose(img.mean(), 0.8, atol=0.02)
+
+
+def test_render_cli_resolution_override_rescales_intrinsics():
+    """--height/--width at render time must rescale fx/fy/cx/cy to keep the
+    FOV (reference render_trained.py:195-203; round-1 VERDICT Missing #3)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "render_trained_cli",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "render_trained.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    H, W, fx, fy, cx, cy = mod.apply_resolution_override(
+        540, 960, 500.0, 500.0, 480.0, 270.0, height=1080, width=1920
+    )
+    assert (H, W) == (1080, 1920)
+    np.testing.assert_allclose([fx, fy], [1000.0, 1000.0])
+    np.testing.assert_allclose([cx, cy], [960.0, 540.0])
+
+    # No override -> unchanged.
+    out = mod.apply_resolution_override(540, 960, 500.0, 500.0, 480.0, 270.0)
+    assert out == (540, 960, 500.0, 500.0, 480.0, 270.0)
