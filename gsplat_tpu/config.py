@@ -53,6 +53,13 @@ class RenderConfig:
     # 'pallas' (TPU kernel), 'xla' (lax.map fallback), 'auto' (pallas on TPU).
     pair_block: int = 128
     backend: str = "auto"
+    # Segmented compact-layout rasterizer ('pallas_seg'): pairs are processed
+    # in mega blocks of `mega_block` pairs with NO per-tile alignment
+    # padding (blocks may span tiles; the kernel segments in-register).
+    # `tile_list_cap` bounds the per-mega-block distinct-tile prefetch list
+    # used by the backward kernel (overflow reported, never silent).
+    mega_block: int = 1024
+    tile_list_cap: int = 16
 
     def __post_init__(self):
         # The binning pipeline packs (tile_x0, tile_y0, footprint_width) into
@@ -77,6 +84,15 @@ class RenderConfig:
     @property
     def num_pair_blocks(self) -> int:
         return self.padded_pairs // self.pair_block
+
+    @property
+    def compact_pairs(self) -> int:
+        """Pair-list capacity of the compact (unaligned) layout."""
+        return cdiv(self.max_pairs, self.mega_block) * self.mega_block
+
+    @property
+    def num_mega_blocks(self) -> int:
+        return self.compact_pairs // self.mega_block
 
     @property
     def tiles_x(self) -> int:

@@ -97,14 +97,15 @@ def depth_order_and_rank(depth: jnp.ndarray, valid: jnp.ndarray):
     return order.astype(jnp.int32), rank
 
 
-def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
-    """Build the block-aligned sorted pair list for one view (static shapes)."""
+def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
+    """Shared pair expansion: depth order, per-pair (tile, slot), tile counts.
+
+    Returns a dict with the presort (gaussian-major) pair fields used by both
+    the block-aligned and the compact binning layouts.
+    """
     n = proj.depth.shape[0]
     num_tiles = cfg.num_tiles
     cap = cfg.max_pairs
-    G = cfg.pair_block
-    cap_pad = cfg.padded_pairs
-    num_blocks = cap_pad // G
 
     order, _ = depth_order_and_rank(proj.depth, proj.valid)
 
@@ -184,6 +185,36 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     grid2 = grid2.at[y1g, x1g].add(one, mode="drop")
     cnt2d = jnp.cumsum(jnp.cumsum(grid2, axis=0), axis=1)
     tile_count = cnt2d[: cfg.tiles_y, : cfg.tiles_x].reshape(num_tiles)
+
+    return {
+        "n": n,
+        "order": order,
+        "slot": slot,
+        "tile_id": tile_id,
+        "pair_ok": pair_ok,
+        "offsets": offsets,
+        "tile_count": tile_count,
+        "total": total,
+    }
+
+
+def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
+    """Build the block-aligned sorted pair list for one view (static shapes)."""
+    num_tiles = cfg.num_tiles
+    cap = cfg.max_pairs
+    G = cfg.pair_block
+    cap_pad = cfg.padded_pairs
+    num_blocks = cap_pad // G
+
+    ex = _expand_pairs(proj, cfg)
+    n = ex["n"]
+    order = ex["order"]
+    slot = ex["slot"]
+    tile_id = ex["tile_id"]
+    pair_ok = ex["pair_ok"]
+    offsets = ex["offsets"]
+    tile_count = ex["tile_count"]
+    total = ex["total"]
 
     # --- block alignment: explicit padding pairs, ONE sort does it all ---
     # Every tile's run is padded to a multiple of G with dummy pairs whose
@@ -273,4 +304,135 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
         depth_order=order,
         perm=perm,
         gauss_offsets=offsets,
+    )
+
+
+class CompactBinning(NamedTuple):
+    """Compact (no alignment padding) sorted pair list for the segmented
+    rasterizer (ops/raster_seg.py).
+
+    The pair list has static length ``cfg.compact_pairs`` (max_pairs rounded
+    up to the mega-block size) in tile-major depth order with NO per-tile
+    block alignment — tile runs abut, so kernel blocks may span several
+    tiles. Per-pair tile ids are therefore part of the pair data; the
+    kernel segments each block by tile in-register (tiles are
+    NON-DECREASING along the sorted order, so segments are grouped).
+    """
+
+    pair_slot: jnp.ndarray  # [compact_pairs] int32 depth-rank; -1 = empty
+    pair_tile: jnp.ndarray  # [compact_pairs] int32 tile id; num_tiles = empty
+    tile_start: jnp.ndarray  # [num_tiles] int32 first pair of each tile
+    tile_count: jnp.ndarray  # [num_tiles] int32 pairs in tile
+    # Distinct nonempty tiles intersecting each mega block, ascending,
+    # padded with num_tiles; used by the backward kernel to prefetch the
+    # per-tile pixel cotangent planes. block_ntiles may exceed
+    # cfg.tile_list_cap (reported via max_block_tiles; the kernel falls back
+    # to a blocking fetch for ranks past the cap — never silent corruption).
+    block_tiles: jnp.ndarray  # [num_mega, tile_list_cap] int32
+    block_ntiles: jnp.ndarray  # [num_mega] int32 true distinct-tile count
+    num_pairs: jnp.ndarray  # [] int32 true pair demand (may exceed capacity)
+    max_block_tiles: jnp.ndarray  # [] int32 max distinct tiles per block
+    depth_order: jnp.ndarray  # [N] int32 gaussian indices sorted by depth
+    perm: jnp.ndarray  # [compact_pairs] int32 presort pair index (cap = pad)
+    gauss_offsets: jnp.ndarray  # [N+1] int32 presort segment boundaries
+
+
+def bin_gaussians_compact(
+    proj: ProjectedGaussians, cfg: RenderConfig
+) -> CompactBinning:
+    """Compact-layout binning: one short sort, no alignment padding.
+
+    vs `bin_gaussians`: the sorted array is `compact_pairs` long instead of
+    `padded_pairs` (= max_pairs + num_tiles*(pair_block-1)) — at 1080p that
+    removes ~1M dead slots from every pairs-sized sort/gather downstream.
+    """
+    num_tiles = cfg.num_tiles
+    cap = cfg.max_pairs
+    cap_m = cfg.compact_pairs
+    M = cfg.mega_block
+    num_mega = cap_m // M
+    K = cfg.tile_list_cap
+
+    ex = _expand_pairs(proj, cfg)
+    n = ex["n"]
+
+    sentinel = num_tiles * (n + 1) + n
+    key = jnp.where(
+        ex["pair_ok"], ex["tile_id"] * (n + 1) + ex["slot"], sentinel
+    )
+    if cap_m > cap:
+        key = jnp.concatenate(
+            [key, jnp.full((cap_m - cap,), sentinel, jnp.int32)]
+        )
+    payload = jnp.concatenate(
+        [
+            jnp.arange(cap, dtype=jnp.int32),
+            jnp.full((cap_m - cap,), cap, jnp.int32),
+        ]
+    )
+    if (num_tiles + 1) * (n + 1) >= 2**31:
+        raise ValueError(
+            "compact binning requires (num_tiles+1)*(N+1) < 2^31 for the "
+            f"packed sort key (num_tiles={num_tiles}, N={n}); reduce the "
+            "pool capacity or image size"
+        )
+    sorted_key, perm = lax.sort((key, payload), num_keys=1)
+    pair_slot = sorted_key % (n + 1)
+    pair_tile = jnp.minimum(sorted_key // (n + 1), num_tiles)
+    pair_slot = jnp.where(pair_slot == n, -1, pair_slot)
+    perm = jnp.where(pair_slot >= 0, perm, cap)
+
+    tile_count = ex["tile_count"]
+    tile_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_count)]
+    )  # [num_tiles + 1]; tile_start[num_tiles] = total kept pairs
+    total_kept = tile_start[num_tiles]
+
+    # --- per-mega-block distinct-tile lists (backward prefetch) ---
+    # Nonempty tile runs are dense and ordered, so the tiles intersecting a
+    # block form a contiguous range of the nonempty-tile list; two
+    # small searchsorted calls (num_mega queries) find the range.
+    nz = tile_count > 0
+    nz_rank = jnp.cumsum(nz.astype(jnp.int32)) - nz.astype(jnp.int32)
+    tidx = jnp.arange(num_tiles, dtype=jnp.int32)
+    nz_tiles = jnp.full((num_tiles + 1,), num_tiles, jnp.int32).at[
+        jnp.where(nz, nz_rank, num_tiles)
+    ].set(tidx, mode="drop")
+    nz_starts = jnp.full((num_tiles + 1,), cap_m + 1, jnp.int32).at[
+        jnp.where(nz, nz_rank, num_tiles)
+    ].set(tile_start[:num_tiles], mode="drop")
+
+    b0 = jnp.arange(num_mega, dtype=jnp.int32) * M
+    lo = jnp.searchsorted(nz_starts, b0, side="right").astype(jnp.int32) - 1
+    hi = (
+        jnp.searchsorted(nz_starts, b0 + (M - 1), side="right").astype(
+            jnp.int32
+        )
+        - 1
+    )
+    has_pairs = b0 < total_kept
+    ntiles = jnp.where(has_pairs, hi - lo + 1, 0)
+    lo = jnp.clip(lo, 0, num_tiles)
+    block_tiles = nz_tiles[
+        jnp.clip(lo[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
+                 0, num_tiles)
+    ]
+    block_tiles = jnp.where(
+        jnp.arange(K, dtype=jnp.int32)[None, :] < ntiles[:, None],
+        block_tiles,
+        num_tiles,
+    )
+
+    return CompactBinning(
+        pair_slot=pair_slot,
+        pair_tile=pair_tile.astype(jnp.int32),
+        tile_start=tile_start[:num_tiles],
+        tile_count=tile_count,
+        block_tiles=block_tiles.astype(jnp.int32),
+        block_ntiles=ntiles.astype(jnp.int32),
+        num_pairs=ex["total"],
+        max_block_tiles=jnp.max(ntiles),
+        depth_order=ex["order"],
+        perm=perm,
+        gauss_offsets=ex["offsets"],
     )

@@ -32,7 +32,13 @@ import numpy as np
 from jax import lax
 
 from ..config import RenderConfig
-from .binning import TileBinning, bin_gaussians, depth_order_and_rank
+from .binning import (
+    CompactBinning,
+    TileBinning,
+    bin_gaussians,
+    bin_gaussians_compact,
+    depth_order_and_rank,
+)
 from .projection import ProjectedGaussians
 
 
@@ -46,6 +52,10 @@ class RenderAux(NamedTuple):
     per_tile_capacity: int
     depth: jnp.ndarray  # [H, W] accumulated depth (sum w_i * z_i)
     alpha: jnp.ndarray  # [H, W] opacity = 1 - final transmittance
+    # Segmented backend only: largest distinct-tile count of any mega block
+    # (kernel prefetch degrades past cfg.tile_list_cap; reported, never
+    # silent).
+    max_block_tiles: jnp.ndarray | None = None
 
 
 def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
@@ -329,27 +339,132 @@ def rasterize_binned_pallas(
     return img, aux
 
 
+def rasterize_binned_seg(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    binning: CompactBinning,
+    cfg: RenderConfig,
+):
+    """Rasterize via the segmented compact-layout kernel (ops/raster_seg.py).
+
+    No alignment padding: the pair list is `cfg.compact_pairs` long (vs
+    `cfg.padded_pairs` for the aligned kernel), shrinking every pairs-sized
+    sort/gather; the kernel segments tile-spanning mega blocks in-register.
+    """
+    from .raster_seg import (
+        FEAT_WIDTH,
+        SUB,
+        _use_interpret,
+        composite_pairs_seg,
+    )
+
+    if not _use_interpret():
+        if cfg.mega_block % SUB != 0:
+            raise ValueError(
+                f"backend='pallas_seg' requires mega_block to be a multiple "
+                f"of {SUB} (got {cfg.mega_block})"
+            )
+        if (cfg.tile * cfg.tile) % 128 != 0:
+            raise ValueError(
+                f"backend='pallas_seg' on TPU requires tile*tile divisible "
+                f"by 128 (got tile={cfg.tile}); use tile=16, or backend='xla'"
+            )
+
+    T = cfg.tile
+    P = T * T
+    feat10 = _pair_features(proj, colors, jnp.float32)[binning.depth_order]
+    pf10 = gather_pair_features(
+        cfg.max_pairs, feat10, binning.pair_slot, binning.perm,
+        binning.gauss_offsets,
+    )
+    # Tile-local pixel coordinates + the per-pair tile-id row the kernel
+    # segments on. Tile ids are exact small integers in f32; stop_gradient
+    # keeps them out of the autodiff graph.
+    ox = ((binning.pair_tile % cfg.tiles_x) * T).astype(jnp.float32)
+    oy = (
+        jnp.minimum(binning.pair_tile // cfg.tiles_x, cfg.tiles_y) * T
+    ).astype(jnp.float32)
+    tile_row = jax.lax.stop_gradient(
+        binning.pair_tile.astype(jnp.float32)
+    )[None, :]
+    pair_feat = jnp.concatenate(
+        [
+            (pf10[0] - ox)[None, :],
+            (pf10[1] - oy)[None, :],
+            pf10[2:10],
+            tile_row,
+            jnp.zeros(
+                (FEAT_WIDTH - 11, binning.pair_tile.shape[0]), jnp.float32
+            ),
+        ],
+        axis=0,
+    )
+
+    out = composite_pairs_seg(
+        pair_feat, binning.block_tiles, binning.block_ntiles, cfg
+    )  # [num_tiles, 8, P]: rows 0-3 rgb+depth, row 4 transmittance
+
+    occupied = (binning.tile_count > 0)[:, None, None]
+    tiles_out = jnp.where(occupied, out[:, 0:4, :], 0.0)
+    tiles_T = jnp.where(occupied[:, 0, :], out[:, 4, :], 1.0)
+    planes = jnp.concatenate([tiles_out, tiles_T[:, None, :]], axis=1)
+    planes = planes.reshape(cfg.tiles_y, cfg.tiles_x, 5, T, T)
+    planes = planes.transpose(0, 3, 1, 4, 2).reshape(
+        cfg.padded_height, cfg.padded_width, 5
+    )[: cfg.height, : cfg.width]
+    img = jnp.clip(planes[..., 0:3], 0.0, 1.0)
+
+    aux = RenderAux(
+        num_pairs=binning.num_pairs,
+        pair_capacity=cfg.max_pairs,
+        max_tile_count=jnp.max(binning.tile_count),
+        per_tile_capacity=cfg.compact_pairs,
+        depth=planes[..., 3],
+        alpha=1.0 - planes[..., 4],
+        max_block_tiles=binning.max_block_tiles,
+    )
+    return img, aux
+
+
+def resolve_backend(cfg: RenderConfig) -> str:
+    backend = cfg.backend
+    if backend == "auto":
+        # Aligned Pallas kernel on TPU; XLA fallback elsewhere
+        # (interpret-mode Pallas is only for small kernel-parity tests —
+        # it walks the grid in python). The segmented compact kernel
+        # ('pallas_seg') is opt-in until it beats 'pallas' on the bench.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
 def rasterize_binned(
     proj: ProjectedGaussians,
     colors: jnp.ndarray,
     binning: TileBinning,
     cfg: RenderConfig,
 ):
-    """Backend-dispatching rasterizer: Pallas kernel or XLA fallback."""
-    backend = cfg.backend
-    if backend == "auto":
-        # Pallas on TPU; XLA fallback elsewhere (interpret-mode Pallas is
-        # only for small kernel-parity tests — it walks the grid in python).
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if backend == "pallas":
+    """Rasterize a precomputed ALIGNED binning (Pallas or XLA fallback).
+
+    Callers holding a CompactBinning should use rasterize_binned_seg; a
+    'pallas_seg' backend request degrades to the aligned Pallas kernel here
+    because the layout is already aligned.
+    """
+    backend = resolve_backend(cfg)
+    if backend in ("pallas", "pallas_seg"):
         return rasterize_binned_pallas(proj, colors, binning, cfg)
     return rasterize_binned_xla(proj, colors, binning, cfg)
 
 
 def rasterize(proj: ProjectedGaussians, colors: jnp.ndarray, cfg: RenderConfig):
     """Bin + rasterize one view. Returns (image [H, W, 3], RenderAux)."""
+    backend = resolve_backend(cfg)
+    if backend == "pallas_seg":
+        binning = bin_gaussians_compact(proj, cfg)
+        return rasterize_binned_seg(proj, colors, binning, cfg)
     binning = bin_gaussians(proj, cfg)
-    return rasterize_binned(proj, colors, binning, cfg)
+    if backend == "pallas":
+        return rasterize_binned_pallas(proj, colors, binning, cfg)
+    return rasterize_binned_xla(proj, colors, binning, cfg)
 
 
 def rasterize_dense(

@@ -145,3 +145,60 @@ def test_depth_gradient_flows():
     gz = np.asarray(g["pos"][:, 2])
     assert np.isfinite(gz).all()
     assert np.abs(gz).max() > 0.0
+
+
+# --- segmented compact-layout kernel (ops/raster_seg.py) -------------------
+
+SEG_CFG = CFG.with_(backend="pallas_seg", mega_block=256, tile_list_cap=4)
+
+
+def test_seg_forward_matches_xla():
+    scene = make_scene(None, n=256, seed_offset=11)
+    params = _params(scene)
+    c2w = jnp.asarray(scene["c2w"])
+    img_s, aux_s = _render(params, c2w, "pallas_seg", SEG_CFG)
+    img_x, aux_x = _render(params, c2w, "xla", SEG_CFG)
+    np.testing.assert_allclose(
+        np.asarray(img_s), np.asarray(img_x), atol=2e-5
+    )
+    assert int(aux_s.num_pairs) == int(aux_x.num_pairs)
+    assert int(aux_s.max_block_tiles) >= 1
+
+
+def test_seg_gradients_match_xla():
+    """Full-parameter gradients through the segmented custom VJP, with the
+    tile-list cap small enough to exercise the blocking-fallback fetch."""
+    scene = make_scene(None, n=200, seed_offset=12)
+    params = _params(scene)
+    c2w = jnp.asarray(scene["c2w"])
+    cfg = SEG_CFG.with_(tile_list_cap=2)  # force prefetch-miss fallback
+
+    def loss(p, cfg):
+        img, _ = _render(p, c2w, cfg.backend, cfg)
+        weight = jnp.cos(0.37 * jnp.arange(img.size).reshape(img.shape))
+        return jnp.sum(img * weight)
+
+    g_s = jax.grad(lambda p: loss(p, cfg))(params)
+    g_x = jax.grad(lambda p: loss(p, cfg.with_(backend="xla")))(params)
+    for k in g_s:
+        a, b = np.asarray(g_s[k]), np.asarray(g_x[k])
+        scale = np.abs(b).max() + 1e-12
+        assert np.isfinite(a).all(), k
+        assert np.abs(a - b).max() / scale < 1e-4, (
+            f"{k}: rel err {np.abs(a - b).max() / scale}"
+        )
+
+
+def test_seg_saturated_scene_early_exit_correct():
+    """Opaque-on-opaque stacking: the per-sub-block early exit must not
+    change the image."""
+    scene = make_scene(None, n=256, seed_offset=13)
+    scene = dict(scene)
+    scene["opacity_raw"] = scene["opacity_raw"] + 4.0  # near-opaque splats
+    params = _params(scene)
+    c2w = jnp.asarray(scene["c2w"])
+    img_s, _ = _render(params, c2w, "pallas_seg", SEG_CFG)
+    img_x, _ = _render(params, c2w, "xla", SEG_CFG)
+    np.testing.assert_allclose(
+        np.asarray(img_s), np.asarray(img_x), atol=2e-5
+    )
