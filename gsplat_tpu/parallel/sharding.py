@@ -168,6 +168,8 @@ def make_gauss_sharded_train_step(
     render_cfg: RenderConfig,
     train_cfg: TrainConfig,
     mesh: jax.sharding.Mesh,
+    ring: bool = False,
+    ring_capacity: int | None = None,
 ):
     """SPMD train step with the Gaussian POOL sharded over the 'tile' axis.
 
@@ -196,13 +198,103 @@ def make_gauss_sharded_train_step(
 
     band_rows = band_px // render_cfg.tile
 
+    def band_localize(proj_in, row0):
+        """Shift pixel v / tile rows into this band; drop non-overlapping."""
+        tmin_y = proj_in.tile_min[:, 1] - row0
+        tmax_y = proj_in.tile_max[:, 1] - row0
+        valid = proj_in.valid & (tmax_y >= 0) & (tmin_y <= band_rows - 1)
+        tmin_y = jnp.where(valid, jnp.clip(tmin_y, 0, band_rows - 1), 0)
+        tmax_y = jnp.where(valid, jnp.clip(tmax_y, 0, band_rows - 1), -1)
+        uv = proj_in.uv - jnp.stack(
+            [jnp.zeros((), jnp.float32),
+             (row0 * render_cfg.tile).astype(jnp.float32)]
+        )[None, :]
+        return proj_in._replace(
+            uv=uv,
+            valid=valid,
+            tile_min=jnp.stack([proj_in.tile_min[:, 0], tmin_y], axis=-1),
+            tile_max=jnp.stack([proj_in.tile_max[:, 0], tmax_y], axis=-1),
+        )
+
+    def collect_all_gather(proj, colors, row0):
+        """Baseline exchange: all_gather the full projected set (its
+        transpose is a psum-scatter, so grads return shard-local)."""
+        proj_full, colors_full = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, TILE_AXIS, axis=0, tiled=True),
+            (proj, colors),
+        )
+        return band_localize(proj_full, row0), colors_full, jnp.int32(0)
+
+    def collect_ring(proj, colors, row0):
+        """Ring exchange (SURVEY §5.7/§7.6): stream gaussian shard blocks
+        around the 'tile' ring with ppermute, keeping ONLY the gaussians
+        whose splats reach this device's band, compacted into a fixed
+        `ring_capacity` buffer. Per-device working-set memory drops from
+        O(N) to O(ring_capacity); overflow (band demand > capacity) is
+        returned for reporting, never silent. Depth ordering across shards
+        is free: binning globally depth-sorts whatever order the buffer
+        holds.
+
+        Backward: scatter transposes to gather, ppermute to the reverse
+        ring — gradients stream back to the owning shard automatically.
+        """
+        n_local = proj.depth.shape[0]
+        cap = ring_capacity if ring_capacity is not None else n_local * n_tile
+        perm = [(i, (i + 1) % n_tile) for i in range(n_tile)]
+
+        def init_buf(leaf, fill, dtype=None):
+            return jnp.full((cap,) + leaf.shape[1:], fill,
+                            dtype or leaf.dtype)
+
+        bufs = (
+            proj._replace(
+                uv=init_buf(proj.uv, 0.0),
+                depth=init_buf(proj.depth, 0.0),
+                conic=init_buf(proj.conic, 0.0),
+                opacity=init_buf(proj.opacity, 0.0),
+                radius=init_buf(proj.radius, 0),
+                tile_min=init_buf(proj.tile_min, 0),
+                tile_max=init_buf(proj.tile_max, -1),
+                valid=init_buf(proj.valid, False),
+            ),
+            init_buf(colors, 0.0),
+        )
+
+        def ring_step(carry, _):
+            bufs, count, cur_proj, cur_col = carry
+            piece = band_localize(cur_proj, row0)
+            sel = piece.valid
+            k = count + jnp.cumsum(sel.astype(jnp.int32)) - 1
+            dest = jnp.where(sel & (k < cap), k, cap)
+
+            def put(buf, vals):
+                if vals.ndim == 1:
+                    return buf.at[dest].set(vals, mode="drop")
+                return buf.at[dest].set(vals, mode="drop")
+
+            new_bufs = jax.tree.map(put, bufs, (piece, cur_col))
+            count = count + jnp.sum(sel.astype(jnp.int32))
+            nxt_proj, nxt_col = jax.lax.ppermute(
+                (cur_proj, cur_col), TILE_AXIS, perm
+            )
+            return (new_bufs, count, nxt_proj, nxt_col), None
+
+        (bufs, demand, _, _), _ = jax.lax.scan(
+            ring_step, (bufs, jnp.int32(0), proj, colors), None,
+            length=n_tile,
+        )
+        proj_band, colors_band = bufs
+        overflow = jnp.maximum(demand - cap, 0)
+        return proj_band, colors_band, overflow
+
     def render_band_gauss_sharded(params, alive, c2w, fx, fy, cx, cy):
-        """Project the LOCAL gaussian shard, all-gather, render my band.
+        """Project the LOCAL gaussian shard, exchange over 'tile', render
+        my band.
 
         Projection MUST use the full-frame camera (every tile-device holds a
         different gaussian shard, so projecting against per-band cameras
-        would gather an inconsistent mix); the gathered screen-space data is
-        then localized to this device's band by shifting v / tile rows.
+        would gather an inconsistent mix); the exchanged screen-space data
+        is then localized to this device's band by shifting v / tile rows.
         """
         cov3d = build_cov3d_packed(params["scale_raw"], params["q_raw"])
         colors = evaluate_sh(
@@ -212,41 +304,18 @@ def make_gauss_sharded_train_step(
             params["pos"], cov3d, params["opacity_raw"], c2w,
             fx, fy, cx, cy, render_cfg, extra_valid=alive,
         )
-        # Gather the compact screen-space features to full N. The backward
-        # of all_gather is a psum-scatter: grads return shard-local.
-        proj_full, colors_full = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, TILE_AXIS, axis=0, tiled=True),
-            (proj, colors),
-        )
-
-        # Band-localize: shift pixel v and tile rows; drop non-overlapping.
         b = jax.lax.axis_index(TILE_AXIS)
         row0 = (b * band_rows).astype(jnp.int32)
-        tmin_y = proj_full.tile_min[:, 1] - row0
-        tmax_y = proj_full.tile_max[:, 1] - row0
-        valid = (
-            proj_full.valid & (tmax_y >= 0) & (tmin_y <= band_rows - 1)
-        )
-        tmin_y = jnp.where(valid, jnp.clip(tmin_y, 0, band_rows - 1), 0)
-        tmax_y = jnp.where(valid, jnp.clip(tmax_y, 0, band_rows - 1), -1)
-        uv = proj_full.uv - jnp.stack(
-            [jnp.zeros((), jnp.float32),
-             (row0 * render_cfg.tile).astype(jnp.float32)]
-        )[None, :]
-        proj_band = proj_full._replace(
-            uv=uv,
-            valid=valid,
-            tile_min=jnp.stack([proj_full.tile_min[:, 0], tmin_y], axis=-1),
-            tile_max=jnp.stack([proj_full.tile_max[:, 0], tmax_y], axis=-1),
-        )
+        collect = collect_ring if ring else collect_all_gather
+        proj_band, colors_band, ring_overflow = collect(proj, colors, row0)
         binning = bin_gaussians(proj_band, band_cfg)
-        img, _ = rasterize_binned(proj_band, colors_full, binning, band_cfg)
-        return img, binning.num_pairs
+        img, _ = rasterize_binned(proj_band, colors_band, binning, band_cfg)
+        return img, binning.num_pairs, ring_overflow
 
     def device_fn(params, alive, batch):
         def loss_fn(p):
             def view_loss(carry, view):
-                band, n_pairs = render_band_gauss_sharded(
+                band, n_pairs, ring_ovf = render_band_gauss_sharded(
                     p, alive, view["c2w"], view["fx"], view["fy"],
                     view["cx"], view["cy"],
                 )
@@ -255,18 +324,21 @@ def make_gauss_sharded_train_step(
                     img, view["image"], train_cfg.lambda_l1,
                     train_cfg.lambda_ssim,
                 )
-                return carry, (total, comps["l1"], comps["ssim"], n_pairs)
+                return carry, (
+                    total, comps["l1"], comps["ssim"], n_pairs, ring_ovf
+                )
 
             # No outer remat: the rasterizer's VJP keeps O(pixels)
             # residuals (see train/trainer.py note).
-            _, (totals, l1s, ssims, pairs) = jax.lax.scan(
+            _, (totals, l1s, ssims, pairs, ring_ovfs) = jax.lax.scan(
                 view_loss, 0.0, batch
             )
             return jnp.mean(totals), (
-                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs)
+                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs),
+                jnp.max(ring_ovfs),
             )
 
-        (loss, (l1, ssim, band_pairs)), grads = jax.value_and_grad(
+        (loss, (l1, ssim, band_pairs, ring_ovf)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
         # Grads are already shard-local along the capacity axis (all_gather
@@ -287,19 +359,22 @@ def make_gauss_sharded_train_step(
         band_pairs = jax.lax.pmax(
             jax.lax.pmax(band_pairs, TILE_AXIS), DATA_AXIS
         )
-        return grads, loss, l1, ssim, band_pairs
+        ring_ovf = jax.lax.pmax(
+            jax.lax.pmax(ring_ovf, TILE_AXIS), DATA_AXIS
+        )
+        return grads, loss, l1, ssim, band_pairs, ring_ovf
 
     sharded = jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(DATA_AXIS)),
-        out_specs=(P(TILE_AXIS), P(), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch: dict):
-        grads, loss, l1, ssim, band_pairs = sharded(
+        grads, loss, l1, ssim, band_pairs, ring_ovf = sharded(
             state.pool.params, state.pool.alive, batch
         )
         grads = jax.tree.map(
@@ -318,7 +393,8 @@ def make_gauss_sharded_train_step(
         metrics = {"total": loss, "l1": l1, "ssim": ssim,
                    "pos_grad": grads["pos"],
                    "max_band_pairs": band_pairs,
-                   "band_pair_capacity": jnp.int32(band_cfg.max_pairs)}
+                   "band_pair_capacity": jnp.int32(band_cfg.max_pairs),
+                   "ring_overflow": ring_ovf}
         return new_state, metrics
 
     return step_fn

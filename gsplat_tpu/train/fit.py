@@ -123,7 +123,11 @@ def fit(
         )
 
         state = shard_train_state(state, mesh)
-        step_fn = make_gauss_sharded_train_step(render_cfg, train_cfg, mesh)
+        # gauss_sharded may be True (all_gather exchange) or "ring"
+        # (ppermute block streaming; see parallel/sharding.py).
+        step_fn = make_gauss_sharded_train_step(
+            render_cfg, train_cfg, mesh, ring=(gauss_sharded == "ring")
+        )
     elif mesh is not None:
         from ..parallel.sharding import make_sharded_train_step
 

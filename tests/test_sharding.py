@@ -296,3 +296,50 @@ def test_adc_step_sharded_pool_exact():
             np.asarray(new_shard.pool.params[k]),
             np.asarray(new_single.pool.params[k]),
         )
+
+
+def test_ring_streamed_gauss_sharding_matches_all_gather():
+    """ppermute ring exchange (SURVEY §5.7/§7.6) must equal the all_gather
+    exchange and the single-device step, with a per-device working-set
+    buffer SMALLER than N (the memory win), and report overflow when the
+    band demand exceeds the ring capacity."""
+    from gsplat_tpu.parallel.sharding import (
+        make_gauss_sharded_train_step,
+        shard_train_state,
+    )
+
+    pool = _pool()
+    batch = _batch(pool, b=2)
+    tcfg = TrainConfig(capacity=512, batch_size=2)
+
+    single = make_train_step(CFG, tcfg)
+    s1, m1 = single(init_train_state(_pool(), tcfg), batch)
+
+    mesh = make_mesh(n_devices=8, data=2, tile=4)
+    # ring_capacity 256 < N=512: the buffers are half the full set.
+    step = make_gauss_sharded_train_step(
+        CFG, tcfg, mesh, ring=True, ring_capacity=256
+    )
+    g1, m2 = step(shard_train_state(init_train_state(_pool(), tcfg), mesh),
+                  batch)
+
+    assert int(m2["ring_overflow"]) == 0
+    assert float(m1["total"]) == pytest.approx(float(m2["total"]), abs=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.pool.params["pos"]), np.asarray(g1.pool.params["pos"]),
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.pool.params["f_dc"]),
+        np.asarray(g1.pool.params["f_dc"]),
+        atol=5e-6,
+    )
+
+    # Starved capacity: overflow must be REPORTED (and nonzero).
+    step_tiny = make_gauss_sharded_train_step(
+        CFG, tcfg, mesh, ring=True, ring_capacity=8
+    )
+    _, m3 = step_tiny(
+        shard_train_state(init_train_state(_pool(), tcfg), mesh), batch
+    )
+    assert int(m3["ring_overflow"]) > 0
