@@ -143,6 +143,17 @@ class TrainConfig:
     prune_opacity_threshold: float = 0.01
     max_grad: float = 0.01
     scale_threshold: float = 0.01
+    # ADC variant: "reference" matches the reference's world-space-gradient
+    # rules (scripts/train.py:89-195); "paper" is the original-paper ADC
+    # (accumulated view-space gradient norms averaged over visible views,
+    # scene-extent-relative size rules, split-replaces-parent, optional
+    # screen-size pruning) — the known-better option on real scenes.
+    adc_mode: str = "reference"
+    densify_grad_threshold: float = 0.0002  # paper view-space threshold (px)
+    percent_dense: float = 0.01
+    scene_extent: float = 5.0
+    min_opacity: float = 0.005
+    max_screen_size: int = 0  # px; 0 disables screen-size pruning
     checkpoint_interval: int = 1000
     # Fixed-capacity Gaussian pool (on-device ADC; see models/adc.py).
     capacity: int = 2**17

@@ -149,3 +149,124 @@ def raise_low_opacity(pool: GaussianPool) -> GaussianPool:
     params = dict(pool.params)
     params["opacity_raw"] = new_raw
     return GaussianPool(params=params, alive=pool.alive)
+
+
+def densify_and_prune_paper(
+    pool: GaussianPool,
+    avg_uv_grad: jnp.ndarray,
+    max_radius: jnp.ndarray,
+    key: jax.Array,
+    grad_threshold: float = 0.0002,
+    min_opacity: float = 0.005,
+    percent_dense: float = 0.01,
+    scene_extent: float = 5.0,
+    max_screen_size: int = 0,
+) -> AdcResult:
+    """Original-paper ADC (Kerbl et al. 2023 §5.2), fixed-capacity form.
+
+    Differences from the reference-matching `densify_and_prune` (which the
+    reference derived with its own thresholds, train.py:89-195):
+
+    * the densification statistic is the ACCUMULATED VIEW-SPACE positional
+      gradient norm averaged over the views where the gaussian was visible
+      (`avg_uv_grad`, from the train step's uv_tap grads) — not the
+      instantaneous world-space gradient;
+    * size criteria are relative to the scene extent
+      (percent_dense * extent splits vs clones; > 0.1 * extent prunes);
+    * SPLIT samples a new position from the gaussian itself
+      (pos + R @ (eps * scales)), shrinks scales by 1.6, and REPLACES the
+      parent with one child while the second child takes a free slot;
+    * optional screen-size pruning: gaussians whose splat radius exceeded
+      `max_screen_size` pixels in any view die (0 disables — the paper
+      enables it only after the first opacity reset).
+
+    Slot mechanics (prefix-sum allocation, overflow reported) match
+    `densify_and_prune`.
+    """
+    from ..ops.gaussian import quat_to_rotmat
+
+    params = pool.params
+    cap = pool.capacity
+
+    opacity = jax.nn.sigmoid(params["opacity_raw"])
+    scales = jnp.exp(params["scale_raw"])
+    max_scale = jnp.max(scales, axis=-1)
+
+    prune = pool.alive & (opacity < min_opacity)
+    if max_screen_size > 0:
+        prune |= pool.alive & (max_radius > max_screen_size)
+        prune |= pool.alive & (max_scale > 0.1 * scene_extent)
+    alive = pool.alive & ~prune
+
+    high_grad = avg_uv_grad >= grad_threshold
+    big = max_scale > percent_dense * scene_extent
+    split = alive & big & high_grad
+    clone = alive & ~big & high_grad
+    spawn = split | clone  # one free slot per spawner
+
+    free = ~alive
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    spawn_rank = jnp.cumsum(spawn.astype(jnp.int32)) - 1
+    num_free = jnp.sum(free.astype(jnp.int32))
+    num_spawn = jnp.sum(spawn.astype(jnp.int32))
+
+    slot_ids = jnp.arange(cap, dtype=jnp.int32)
+    free_slot_of_rank = jnp.zeros(cap, jnp.int32).at[
+        jnp.where(free, free_rank, cap)
+    ].set(slot_ids, mode="drop")
+    fits = spawn & (spawn_rank < num_free)
+    dest = jnp.where(
+        fits, free_slot_of_rank[jnp.clip(spawn_rank, 0, cap - 1)], cap
+    )
+
+    # Split children: positions sampled from the parent gaussian
+    # (world-frame offset = R @ (eps * scales)), scales / 1.6.
+    k1, k2 = jax.random.split(key)
+    q = params["q_raw"]
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    R = quat_to_rotmat(q)  # [cap, 3, 3]
+    eps_a = jax.random.normal(k1, scales.shape, scales.dtype) * scales
+    eps_b = jax.random.normal(k2, scales.shape, scales.dtype) * scales
+    off_a = jnp.einsum("nij,nj->ni", R, eps_a)
+    off_b = jnp.einsum("nij,nj->ni", R, eps_b)
+    split_scale_raw = params["scale_raw"] - jnp.log(1.6)
+
+    # Child written to the FREE slot: split -> sampled child B; clone -> copy.
+    child = {
+        "pos": jnp.where(split[:, None], params["pos"] + off_b,
+                         params["pos"]),
+        "opacity_raw": params["opacity_raw"],
+        "f_dc": params["f_dc"],
+        "f_rest": params["f_rest"],
+        "scale_raw": jnp.where(split[:, None], split_scale_raw,
+                               params["scale_raw"]),
+        "q_raw": params["q_raw"],
+    }
+
+    def scatter_children(dst, src):
+        m = fits if src.ndim == 1 else fits[:, None]
+        return dst.at[dest].set(jnp.where(m, src, 0.0), mode="drop")
+
+    new_params = {k: scatter_children(params[k], child[k]) for k in params}
+
+    # Parent slot of a FITTING split is replaced in place by child A.
+    rep = split & fits
+    new_params["pos"] = jnp.where(
+        rep[:, None], params["pos"] + off_a, new_params["pos"]
+    )
+    new_params["scale_raw"] = jnp.where(
+        rep[:, None], split_scale_raw, new_params["scale_raw"]
+    )
+
+    new_slot = jnp.zeros(cap, bool).at[dest].set(fits, mode="drop")
+    new_alive = alive | new_slot
+
+    return AdcResult(
+        pool=GaussianPool(params=new_params, alive=new_alive),
+        # replaced parents also need fresh optimizer moments
+        new_slot_mask=new_slot | prune | rep,
+        num_pruned=jnp.sum(prune.astype(jnp.int32)),
+        num_split=jnp.sum((split & fits).astype(jnp.int32)),
+        num_cloned=jnp.sum((clone & fits).astype(jnp.int32)),
+        num_overflowed=jnp.maximum(num_spawn - num_free, 0),
+    )

@@ -87,6 +87,7 @@ def project_gaussians(
     cy,
     cfg: RenderConfig,
     extra_valid: jnp.ndarray | None = None,
+    uv_tap: jnp.ndarray | None = None,
 ) -> ProjectedGaussians:
     """Project N world-space Gaussians into screen space (static shapes).
 
@@ -99,6 +100,11 @@ def project_gaussians(
         cfg: static render config.
         extra_valid: optional [N] bool mask (e.g. the ADC alive mask); invalid
             slots are culled exactly like off-frustum Gaussians.
+        uv_tap: optional [N, 2] zeros added to the projected pixel centers —
+            a differentiation tap: grad(loss, uv_tap) is the VIEW-SPACE
+            positional gradient the original-paper ADC accumulates
+            (Kerbl et al. 2023 §5.2; the reference uses world-space grads
+            instead, scripts/train.py:543-553).
     """
     dtype = pos.dtype
     H, W = cfg.height, cfg.width
@@ -140,6 +146,9 @@ def project_gaussians(
     # --- projection (render.py:146) ---
     u = fx * x / z + cx
     v = fy * y / z + cy
+    if uv_tap is not None:
+        u = u + uv_tap[:, 0]
+        v = v + uv_tap[:, 1]
 
     # --- EWA: Sigma_cam = Rwc Sigma Rwc^T, then J Sigma_cam J^T ---
     # (render.py:156-175). We fold both into one quadratic form: with

@@ -56,6 +56,9 @@ class RenderAux(NamedTuple):
     # (kernel prefetch degrades past cfg.tile_list_cap; reported, never
     # silent).
     max_block_tiles: jnp.ndarray | None = None
+    # Per-gaussian screen radius for this view ([N] int32, 0 = culled);
+    # consumed by the paper-style ADC's screen-size pruning.
+    screen_radius: jnp.ndarray | None = None
 
 
 def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
@@ -261,7 +264,7 @@ def rasterize_binned_xla(
         depth=planes[..., 3],
         alpha=1.0 - planes[..., 4],
     )
-    return img, aux
+    return img, aux._replace(screen_radius=proj.radius)
 
 
 def rasterize_binned_pallas(
@@ -336,7 +339,7 @@ def rasterize_binned_pallas(
         depth=planes[..., 3],
         alpha=1.0 - planes[..., 4],
     )
-    return img, aux
+    return img, aux._replace(screen_radius=proj.radius)
 
 
 def rasterize_binned_seg(
@@ -423,7 +426,7 @@ def rasterize_binned_seg(
         alpha=1.0 - planes[..., 4],
         max_block_tiles=binning.max_block_tiles,
     )
-    return img, aux
+    return img, aux._replace(screen_radius=proj.radius)
 
 
 def resolve_backend(cfg: RenderConfig) -> str:

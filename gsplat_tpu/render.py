@@ -84,6 +84,7 @@ def render_from_params(
     cy,
     cfg: RenderConfig,
     alive: jnp.ndarray | None = None,
+    uv_tap: jnp.ndarray | None = None,
 ):
     """Fused differentiable forward: raw parameter pytree -> (image, aux).
 
@@ -91,11 +92,13 @@ def render_from_params(
         params: dict with pos [N,3], scale_raw [N,3], q_raw [N,4],
             opacity_raw [N], f_dc [N,3], f_rest [N,45|9|0].
         alive: optional [N] bool pool-slot mask (fixed-capacity ADC).
+        uv_tap: optional [N, 2] zeros; grad w.r.t. it is the view-space
+            positional gradient (paper-style ADC statistic).
     """
     cov3d = build_cov3d_packed(params["scale_raw"], params["q_raw"])
     colors = evaluate_sh(params["f_dc"], params["f_rest"], params["pos"], c2w)
     proj = project_gaussians(
         params["pos"], cov3d, params["opacity_raw"], c2w, fx, fy, cx, cy, cfg,
-        extra_valid=alive,
+        extra_valid=alive, uv_tap=uv_tap,
     )
     return rasterize(proj, colors, cfg)

@@ -29,6 +29,7 @@ from ..models.gaussians import init_pool_from_points
 from .trainer import (
     TrainState,
     adc_step,
+    adc_step_paper,
     init_train_state,
     load_checkpoint,
     make_train_step,
@@ -135,6 +136,13 @@ def fit(
     else:
         step_fn = make_train_step(render_cfg, train_cfg)
 
+    if train_cfg.adc_mode == "paper" and mesh is not None:
+        raise ValueError(
+            "adc_mode='paper' needs the view-space gradient statistics the "
+            "sharded train steps do not emit yet; use adc_mode='reference' "
+            "with a mesh, or train single-device"
+        )
+
     batches = (
         dataset
         if hasattr(dataset, "__next__")
@@ -156,6 +164,14 @@ def fit(
     # gradients don't cancel.
     pos_grad_accum = None
     _grad_norm = jax.jit(lambda g: jnp.linalg.norm(g, axis=-1))
+    # Paper-mode ADC statistics (train_cfg.adc_mode == 'paper'): running
+    # sums of per-view view-space gradient norms / visibility counts / max
+    # screen radius between ADC boundaries.
+    paper_adc = train_cfg.adc_mode == "paper"
+    uv_sum = vis_sum = rad_max = None
+    _accum3 = jax.jit(
+        lambda a, b, c, da, db, dc: (a + da, b + db, jnp.maximum(c, dc))
+    )
     start = int(state.step)
     log_fn(
         f"training: {train_cfg.iterations} iters, batch "
@@ -168,10 +184,22 @@ def fit(
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
 
-        g = _grad_norm(metrics["pos_grad"])
-        pos_grad_accum = g if pos_grad_accum is None else (
-            0.5 * pos_grad_accum + 0.5 * g
-        )
+        if paper_adc:
+            if uv_sum is None:
+                uv_sum = metrics["uv_grad_sum"]
+                vis_sum = metrics["visible"]
+                rad_max = metrics["max_radius"]
+            else:
+                uv_sum, vis_sum, rad_max = _accum3(
+                    uv_sum, vis_sum, rad_max,
+                    metrics["uv_grad_sum"], metrics["visible"],
+                    metrics["max_radius"],
+                )
+        else:
+            g = _grad_norm(metrics["pos_grad"])
+            pos_grad_accum = g if pos_grad_accum is None else (
+                0.5 * pos_grad_accum + 0.5 * g
+            )
 
         if it % log_every == 0 or it == train_cfg.iterations:
             loss = float(metrics["total"])
@@ -208,17 +236,24 @@ def fit(
             and it < train_cfg.densify_until_iter
         ):
             key, sub = jax.random.split(key)
-            state, adc_result = adc_step(
-                state,
-                pos_grad_accum,
-                sub,
-                (
-                    train_cfg.prune_opacity_threshold,
-                    train_cfg.max_grad,
-                    train_cfg.scale_threshold,
-                ),
-            )
-            pos_grad_accum = None
+            if paper_adc:
+                avg_uv = uv_sum / jnp.maximum(vis_sum, 1).astype(jnp.float32)
+                state, adc_result = adc_step_paper(
+                    state, avg_uv, rad_max, sub, train_cfg
+                )
+                uv_sum = vis_sum = rad_max = None
+            else:
+                state, adc_result = adc_step(
+                    state,
+                    pos_grad_accum,
+                    sub,
+                    (
+                        train_cfg.prune_opacity_threshold,
+                        train_cfg.max_grad,
+                        train_cfg.scale_threshold,
+                    ),
+                )
+                pos_grad_accum = None
             overflow = int(adc_result.num_overflowed)
             if overflow:
                 report.overflow_events += 1

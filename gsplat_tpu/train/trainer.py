@@ -21,6 +21,7 @@ optimizer state IS checkpointed (SURVEY §5.4 gap).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -29,7 +30,11 @@ import numpy as np
 import optax
 
 from ..config import RenderConfig, TrainConfig
-from ..models.adc import densify_and_prune, raise_low_opacity
+from ..models.adc import (
+    densify_and_prune,
+    densify_and_prune_paper,
+    raise_low_opacity,
+)
 from ..models.gaussians import GaussianPool
 from ..ops.losses import compute_loss
 from ..render import render_from_params
@@ -108,45 +113,93 @@ def batch_loss_fn(
     batch: dict,
     render_cfg: RenderConfig,
     train_cfg: TrainConfig,
+    uv_taps: jnp.ndarray | None = None,
 ):
     """Mean L1+SSIM loss over a batch of views, rendered sequentially.
 
     batch: dict with 'image' [B,H,W,3], 'c2w' [B,4,4], 'fx','fy','cx','cy' [B].
-    Returns (loss, metrics dict).
+    uv_taps: optional [B, N, 2] zeros (paper-ADC view-space gradient tap).
+    Returns (loss, metrics dict) — metrics gain per-gaussian 'visible' and
+    'max_radius' arrays when uv_taps is given.
     """
 
-    def view_loss(carry, view):
-        img, _ = render_from_params(
+    def view_loss(carry, xs):
+        view, tap = xs
+        img, aux = render_from_params(
             params, view["c2w"], view["fx"], view["fy"], view["cx"],
             view["cy"], render_cfg, alive=alive,
+            uv_tap=None if uv_taps is None else tap,
         )
         total, comps = compute_loss(
             img, view["image"], train_cfg.lambda_l1, train_cfg.lambda_ssim
         )
-        return carry, (total, comps["l1"], comps["ssim"])
+        if uv_taps is None:
+            extra = ()
+        else:
+            radius = jax.lax.stop_gradient(aux.screen_radius)
+            extra = (radius,)
+        return carry, (total, comps["l1"], comps["ssim"]) + extra
 
     # NOTE: no jax.checkpoint here — the Pallas rasterizer's custom VJP
     # keeps only O(pixels) residuals and the XLA fallback checkpoints per
     # tile chunk internally; an outer remat would re-run the whole forward
     # in backward (+30% step time measured) for no memory benefit.
-    _, (totals, l1s, ssims) = jax.lax.scan(view_loss, 0.0, batch)
-    return jnp.mean(totals), {"l1": jnp.mean(l1s), "ssim": jnp.mean(ssims)}
+    xs = (batch, uv_taps)
+    if uv_taps is None:
+        b = batch["c2w"].shape[0]
+        xs = (batch, jnp.zeros((b,), jnp.float32))  # dummy scan operand
+        _, (totals, l1s, ssims) = jax.lax.scan(view_loss, 0.0, xs)
+        return jnp.mean(totals), {"l1": jnp.mean(l1s), "ssim": jnp.mean(ssims)}
+    _, (totals, l1s, ssims, radii) = jax.lax.scan(view_loss, 0.0, xs)
+    return jnp.mean(totals), {
+        "l1": jnp.mean(l1s),
+        "ssim": jnp.mean(ssims),
+        "visible": jnp.sum((radii > 0).astype(jnp.int32), axis=0),  # [N]
+        "max_radius": jnp.max(radii, axis=0),  # [N]
+    }
 
 
 def make_train_step(render_cfg: RenderConfig, train_cfg: TrainConfig):
-    """Build the jitted single-step update. Returns step_fn(state, batch)."""
+    """Build the jitted single-step update. Returns step_fn(state, batch).
+
+    With train_cfg.adc_mode == 'paper', the step also differentiates w.r.t.
+    a zero view-space tap and returns per-gaussian 'uv_grad_sum' (sum over
+    the batch of per-view ||dL/duv||), 'visible' counts and 'max_radius' —
+    the original-paper densification statistics.
+    """
     tx = make_optimizer(train_cfg)
+    paper = train_cfg.adc_mode == "paper"
 
     def step_fn(state: TrainState, batch: dict):
-        def loss_fn(params):
-            loss, metrics = batch_loss_fn(
-                params, state.pool.alive, batch, render_cfg, train_cfg
-            )
-            return loss, metrics
+        if paper:
+            b = batch["c2w"].shape[0]
+            n = state.pool.alive.shape[0]
+            taps = jnp.zeros((b, n, 2), jnp.float32)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.pool.params
-        )
+            def loss_fn(params, taps):
+                return batch_loss_fn(
+                    params, state.pool.alive, batch, render_cfg, train_cfg,
+                    uv_taps=taps,
+                )
+
+            (loss, metrics), (grads, tap_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.pool.params, taps)
+            # Per-view view-space gradient norms, summed over the batch
+            # (the paper accumulates per-render norms, 3DGS §5.2).
+            metrics["uv_grad_sum"] = jnp.sum(
+                jnp.linalg.norm(tap_grads, axis=-1), axis=0
+            )  # [N]
+        else:
+            def loss_fn(params):
+                loss, metrics = batch_loss_fn(
+                    params, state.pool.alive, batch, render_cfg, train_cfg
+                )
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.pool.params)
         grads = _clip_pos_grad(grads, train_cfg.grad_clip_pos)
         # Dead slots must not drift.
         grads = jax.tree.map(
@@ -194,6 +247,30 @@ def adc_step(state: TrainState, pos_grad: jnp.ndarray, key, thresholds):
         opacity_threshold=opacity_threshold,
         max_grad=max_grad,
         scale_threshold=scale_threshold,
+    )
+    opt_state = reset_opt_state_slots(state.opt_state, result.new_slot_mask)
+    return (
+        TrainState(pool=result.pool, opt_state=opt_state, step=state.step),
+        result,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def adc_step_paper(
+    state: TrainState,
+    avg_uv_grad: jnp.ndarray,
+    max_radius: jnp.ndarray,
+    key,
+    cfg: TrainConfig,
+):
+    """Jitted original-paper densify/prune + optimizer-moment reset."""
+    result = densify_and_prune_paper(
+        state.pool, avg_uv_grad, max_radius, key,
+        grad_threshold=cfg.densify_grad_threshold,
+        min_opacity=cfg.min_opacity,
+        percent_dense=cfg.percent_dense,
+        scene_extent=cfg.scene_extent,
+        max_screen_size=cfg.max_screen_size,
     )
     opt_state = reset_opt_state_slots(state.opt_state, result.new_slot_mask)
     return (

@@ -211,3 +211,116 @@ def test_checkpoint_roundtrip(tmp_path):
     s1, m1 = step(state, batch)
     s2, m2 = step(restored, batch)
     assert float(m1["total"]) == pytest.approx(float(m2["total"]), abs=1e-7)
+
+
+def test_paper_adc_mechanics():
+    """densify_and_prune_paper: prune by opacity/screen size, clone small,
+    split big with parent replacement and scale/1.6."""
+    import jax
+
+    from gsplat_tpu.models.adc import densify_and_prune_paper
+
+    n, cap = 6, 16
+    rng = np.random.default_rng(0)
+    pos = rng.normal(0, 1, (cap, 3)).astype(np.float32)
+    scale_raw = np.full((cap, 3), -3.0, np.float32)
+    scale_raw[1] = -2.0  # big -> split (exp(-2)=0.135 > 0.01*extent,
+    #                      but < 0.1*extent so not world-size pruned)
+    scale_raw[4] = 1.0  # huge -> world-size prune when screen prune enabled
+    opacity_raw = np.full(cap, 2.0, np.float32)
+    opacity_raw[2] = -8.0  # transparent -> prune
+    params = {
+        "pos": jnp.asarray(pos),
+        "scale_raw": jnp.asarray(scale_raw),
+        "q_raw": jnp.asarray(np.tile([0, 0, 0, 1.0], (cap, 1)).astype(np.float32)),
+        "opacity_raw": jnp.asarray(opacity_raw),
+        "f_dc": jnp.asarray(rng.uniform(0, 1, (cap, 3)).astype(np.float32)),
+        "f_rest": jnp.asarray(np.zeros((cap, 45), np.float32)),
+    }
+    alive = np.zeros(cap, bool)
+    alive[:n] = True
+    pool = GaussianPool(params=params, alive=jnp.asarray(alive))
+
+    grads = np.zeros(cap, np.float32)
+    grads[0] = 0.01  # small + high grad -> clone
+    grads[1] = 0.01  # big + high grad -> split
+    radii = np.zeros(cap, np.int32)
+    radii[3] = 50  # oversized on screen
+
+    res = densify_and_prune_paper(
+        pool, jnp.asarray(grads), jnp.asarray(radii), jax.random.key(0),
+        grad_threshold=0.0002, min_opacity=0.005, percent_dense=0.01,
+        scene_extent=5.0, max_screen_size=20,
+    )
+    assert int(res.num_cloned) == 1
+    assert int(res.num_split) == 1
+    assert int(res.num_pruned) == 3  # transparent + screen-size + world-size
+    assert int(res.num_overflowed) == 0
+    new_alive = np.asarray(res.pool.alive)
+    # 6 alive - 3 pruned + 2 spawned (pruned slots may be reused by spawns)
+    assert new_alive.sum() == 5
+    # split parent slot 1: replaced in place, scale shrunk by 1.6
+    np.testing.assert_allclose(
+        np.asarray(res.pool.params["scale_raw"])[1],
+        scale_raw[1] - np.log(1.6), atol=1e-6,
+    )
+    assert not np.allclose(np.asarray(res.pool.params["pos"])[1], pos[1])
+    # clone parent slot 0 unchanged; its copy exists in a new slot
+    np.testing.assert_allclose(
+        np.asarray(res.pool.params["pos"])[0], pos[0]
+    )
+    # optimizer-reset mask covers pruned + replaced parent slots
+    mask = np.asarray(res.new_slot_mask)
+    assert mask[1] and mask[2] and mask[3] and mask[4]
+
+
+def test_fit_paper_adc_mode_trains(tmp_path):
+    """fit() with adc_mode='paper' runs the uv-tap step, accumulates
+    view-space statistics, densifies, and reduces the loss."""
+    from conftest import make_scene
+
+    from gsplat_tpu import render_from_params
+    from gsplat_tpu.train.fit import fit
+
+    scene = make_scene(None, n=96, seed_offset=31)
+    params = {k: jnp.asarray(scene[k]) for k in
+              ("pos", "scale_raw", "q_raw", "opacity_raw", "f_dc", "f_rest")}
+    cfg = RenderConfig(height=64, width=64, max_pairs=4096, max_per_tile=128,
+                       tile_chunk=8, backend="xla")
+    target = dict(params)
+    target["f_dc"] = target["f_dc"] + 0.4
+    c2w = jnp.asarray(scene["c2w"])
+    img, _ = render_from_params(params=target, c2w=c2w, fx=60.0, fy=58.0,
+                                cx=32.5, cy=31.5, cfg=cfg)
+    batch = {
+        "image": np.asarray(img)[None],
+        "c2w": np.asarray(c2w)[None],
+        "fx": np.asarray([60.0], np.float32),
+        "fy": np.asarray([58.0], np.float32),
+        "cx": np.asarray([32.5], np.float32),
+        "cy": np.asarray([31.5], np.float32),
+    }
+
+    def batches():
+        while True:
+            yield dict(batch)
+
+    tcfg = TrainConfig(
+        iterations=24, batch_size=1, capacity=256,
+        adc_mode="paper", densification_interval=6, densify_until_iter=8,
+        densify_grad_threshold=1e-5,  # low bar so spawns happen
+        opacity_reset_interval=10_000, checkpoint_interval=10_000,
+    )
+    pts = np.concatenate(
+        [np.asarray(scene["pos"]), np.asarray(scene["f_dc"])], axis=-1
+    ).astype(np.float32)
+    state, report = fit(
+        batches(), cfg, tcfg, initial_points=pts,
+        log_every=5, log_fn=lambda s: None,
+    )
+    assert np.isfinite(report.final_loss)
+    # The ADC churn (sampled split positions, scale/1.6) legitimately bumps
+    # the loss; require recovery AFTER the last densification instead.
+    post_adc = [v for it, v in report.losses if it >= 10]
+    assert report.final_loss <= min(post_adc[0], 2.0 * report.losses[0][1])
+    assert int(state.pool.num_alive()) != 96  # paper ADC changed the pool
