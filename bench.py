@@ -129,6 +129,52 @@ def grad_parity_err():
         return f"unavailable: {type(e).__name__}"
 
 
+DEFAULT_CKPT = "bench_assets/trained_ckpt.npz"
+
+
+def bench_checkpoint(path, height, width, iters):
+    """FPS on a TRAINED checkpoint's gaussian distribution — the north-star
+    workload (BASELINE.json: 'garden-scale trained scene'); trained scenes
+    are many dim/small splats where the opacity-aware radius bound bites,
+    unlike the synthetic mid-opacity scene (round-1 VERDICT Weak #4)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig, render_from_params
+    from gsplat_tpu.train.trainer import restore_pool
+    from gsplat_tpu.viewer import estimate_scene_center_radius, look_at
+
+    pool = restore_pool(path)
+    n_alive = int(np.asarray(pool.alive).sum())
+    pos = np.asarray(pool.params["pos"])[np.asarray(pool.alive)]
+    center, radius = estimate_scene_center_radius(positions=pos)
+    cam = center + np.array([0.0, -0.25 * radius, -1.1 * radius])
+    c2w = jnp.asarray(look_at(cam, center))
+    cfg = RenderConfig(height=height, width=width, max_pairs=5 * 2**19,
+                       max_per_tile=2048)
+    fx = fy = jnp.float32(0.85 * width)
+    fwd = jax.jit(
+        lambda p, a: render_from_params(
+            p, c2w, fx, fy, jnp.float32(width / 2), jnp.float32(height / 2),
+            cfg, alive=a,
+        )
+    )
+    img, aux = fwd(pool.params, pool.alive)
+    img.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img, aux = fwd(pool.params, pool.alive)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "fps_trained_ckpt": round(1.0 / dt, 3),
+        "trained_ckpt_gaussians": n_alive,
+        "trained_ckpt_pairs": int(aux.num_pairs),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=1080)
@@ -139,6 +185,9 @@ def main():
                    help="skip the fwd+bwd benchmark")
     p.add_argument("--no-parity", dest="parity", action="store_false",
                    help="skip the gradient parity check vs the reference")
+    p.add_argument("--checkpoint", default=None,
+                   help="trained .npz checkpoint to benchmark "
+                        f"(default: {DEFAULT_CKPT} when present)")
     args = p.parse_args()
 
     import jax
@@ -214,6 +263,16 @@ def main():
         img540 = fwd540(params)
     img540.block_until_ready()
     extras["fps_960x540"] = round(args.iters / (time.perf_counter() - t0), 3)
+
+    import os
+
+    ckpt = args.checkpoint or (
+        DEFAULT_CKPT if os.path.exists(DEFAULT_CKPT) else None
+    )
+    if ckpt:
+        extras.update(
+            bench_checkpoint(ckpt, args.height, args.width, args.iters)
+        )
 
     if args.parity:
         err = grad_parity_err()
