@@ -150,10 +150,16 @@ def bench_checkpoint(path, height, width, iters):
     n_alive = int(np.asarray(pool.alive).sum())
     pos = np.asarray(pool.params["pos"])[np.asarray(pool.alive)]
     center, radius = estimate_scene_center_radius(positions=pos)
-    cam = center + np.array([0.0, -0.25 * radius, -1.1 * radius])
+    # Frame the whole scene (the radius estimate is the CLOUD's spread, so
+    # a close camera sits inside the scene and splat footprints explode
+    # with 1/z — measured 33M pairs at 1.1R vs ~3M at 4.4R).
+    cam = center + np.array([0.0, -0.6 * radius, -4.4 * radius])
     c2w = jnp.asarray(look_at(cam, center))
-    cfg = RenderConfig(height=height, width=width, max_pairs=5 * 2**19,
-                       max_per_tile=2048)
+    # Trained scenes carry more pairs than the synthetic cloud; give the
+    # static capacity headroom and report true demand so overflow is
+    # visible in the bench line.
+    cfg = RenderConfig(height=height, width=width, max_pairs=2**22,
+                       max_per_tile=4096)
     fx = fy = jnp.float32(0.85 * width)
     fwd = jax.jit(
         lambda p, a: render_from_params(
@@ -172,6 +178,7 @@ def bench_checkpoint(path, height, width, iters):
         "fps_trained_ckpt": round(1.0 / dt, 3),
         "trained_ckpt_gaussians": n_alive,
         "trained_ckpt_pairs": int(aux.num_pairs),
+        "trained_ckpt_pair_capacity": cfg.max_pairs,
     }
 
 

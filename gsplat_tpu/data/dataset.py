@@ -158,6 +158,59 @@ class GaussianDataset:
                 "cy": np.asarray([v["cy"] for v in out], np.float32),
             }
 
+    def device_batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+    ) -> Iterator[dict]:
+        """Like `batches()` but with all views UPLOADED ONCE to the default
+        device; each batch is a device-side gather (no per-step host->device
+        image transfer — that upload dominates step time on slow links and
+        costs PCIe/ICI bandwidth everywhere else).
+
+        Memory: num_views * H * W * 3 * 4 bytes of HBM. Callers should fall
+        back to `batches()` when that exceeds their budget (fit() does this
+        automatically above its device_cache_bytes threshold).
+        """
+        import jax.numpy as jnp
+
+        n = len(self)
+        imgs = jnp.asarray(
+            np.stack([self[i]["image"] for i in range(n)])
+        )  # [N, H, W, 3] device-resident
+        c2ws = jnp.asarray(self.c2w[:n])
+        fx = jnp.full((batch_size,), self.fx, jnp.float32)
+        fy = jnp.full((batch_size,), self.fy, jnp.float32)
+        cx = jnp.full((batch_size,), self.cx, jnp.float32)
+        cy = jnp.full((batch_size,), self.cy, jnp.float32)
+
+        rng = np.random.default_rng(seed)
+        order = np.arange(n)
+        pos = n
+        while True:
+            idx = []
+            while len(idx) < batch_size:
+                if pos >= n:
+                    if shuffle:
+                        rng.shuffle(order)
+                    pos = 0
+                idx.append(int(order[pos]))
+                pos += 1
+            sel = np.asarray(idx)
+            yield {
+                "image": imgs[sel],
+                "c2w": c2ws[sel],
+                "fx": fx,
+                "fy": fy,
+                "cx": cx,
+                "cy": cy,
+            }
+
+    def size_bytes(self) -> int:
+        """Approximate device footprint of the full image set."""
+        return len(self) * self.height * self.width * 3 * 4
+
     def pointcloud_path(self) -> str | None:
         for name in ("pointcloud.ply", "points.ply", "pointcloud.npy"):
             p = os.path.join(self.data_dir, name)

@@ -63,6 +63,7 @@ def fit(
     log_every: int = 50,
     log_fn: Callable[[str], None] = print,
     seed: int = 0,
+    device_cache_bytes: int = 4 << 30,
 ) -> tuple[TrainState, FitReport]:
     """Train a Gaussian pool on a dataset. Returns (state, report).
 
@@ -73,6 +74,11 @@ def fit(
             pointcloud.ply, else a random cloud like reference
             train.py:351-370.
         mesh: optional device mesh; enables the SPMD train step.
+        device_cache_bytes: when the dataset offers `device_batches` and
+            its image set fits under this budget, views are uploaded to the
+            device ONCE and batches are device-side gathers (the per-step
+            host upload otherwise costs PCIe/link bandwidth every
+            iteration). 0 disables.
     """
     t0 = time.time()
     if output_dir:
@@ -143,11 +149,22 @@ def fit(
             "with a mesh, or train single-device"
         )
 
-    batches = (
-        dataset
-        if hasattr(dataset, "__next__")
-        else dataset.batches(train_cfg.batch_size, seed=seed)
-    )
+    if hasattr(dataset, "__next__"):
+        batches = dataset
+    elif (
+        mesh is None  # sharded steps expect host arrays to shard
+        and device_cache_bytes
+        and hasattr(dataset, "device_batches")
+        and hasattr(dataset, "size_bytes")
+        and dataset.size_bytes() <= device_cache_bytes
+    ):
+        log_fn(
+            f"device-caching {len(dataset)} views "
+            f"({dataset.size_bytes() / 1e6:.0f} MB)"
+        )
+        batches = dataset.device_batches(train_cfg.batch_size, seed=seed)
+    else:
+        batches = dataset.batches(train_cfg.batch_size, seed=seed)
 
     report = FitReport()
     metrics_log = None

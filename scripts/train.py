@@ -40,7 +40,16 @@ def main():
     p.add_argument("--checkpoint_interval", type=int, default=1000)
     p.add_argument("--resume_from", default=None)
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "xla"))
+                   choices=("auto", "pallas", "pallas_seg", "xla"))
+    p.add_argument("--adc_mode", default="reference",
+                   choices=("reference", "paper"),
+                   help="density control rules: the reference's world-space"
+                        "-gradient variant, or the original paper's "
+                        "view-space statistic with scene-extent rules")
+    p.add_argument("--densify_grad_threshold", type=float, default=0.0002,
+                   help="paper-ADC view-space gradient threshold (px)")
+    p.add_argument("--max_screen_size", type=int, default=0,
+                   help="paper-ADC screen-size prune in px (0 = off)")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="devices along the data (view) mesh axis")
     p.add_argument("--mesh_tile", type=int, default=1,
@@ -48,6 +57,10 @@ def main():
     p.add_argument("--gauss_sharded", action="store_true",
                    help="shard pool/grads/optimizer over the tile axis "
                         "(ZeRO-style; for large scenes)")
+    p.add_argument("--ring", action="store_true",
+                   help="with --gauss_sharded: stream gaussian blocks "
+                        "around the tile ring (ppermute) instead of "
+                        "all-gathering the full set")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -88,6 +101,9 @@ def main():
         opacity_reset_interval=args.opacity_reset_interval,
         checkpoint_interval=args.checkpoint_interval,
         num_sh_bands=args.sh_bands,
+        adc_mode=args.adc_mode,
+        densify_grad_threshold=args.densify_grad_threshold,
+        max_screen_size=args.max_screen_size,
     )
 
     mesh = None
@@ -108,7 +124,8 @@ def main():
         output_dir=args.output_dir,
         resume_from=args.resume_from,
         mesh=mesh,
-        gauss_sharded=args.gauss_sharded,
+        gauss_sharded=("ring" if args.ring else True)
+        if args.gauss_sharded else False,
         log_every=args.log_every,
         seed=args.seed,
     )

@@ -16,12 +16,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def make_gt_scene(n, seed=0):
+def make_gt_scene(n, seed=0, n_clusters=24, scale_mean=-2.6):
     """Clustered colorful gaussians (more structure than random noise)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    n_clusters = 24
     centers = np.stack(
         [
             rng.uniform(-2.0, 2.0, n_clusters),
@@ -38,7 +37,9 @@ def make_gt_scene(n, seed=0):
     )
     return {
         "pos": jnp.asarray(pos, jnp.float32),
-        "scale_raw": jnp.asarray(rng.normal(0, 0.25, (n, 3)) - 2.6, jnp.float32),
+        "scale_raw": jnp.asarray(
+            rng.normal(0, 0.25, (n, 3)) + scale_mean, jnp.float32
+        ),
         "q_raw": jnp.asarray(
             rng.normal(0, 0.6, (n, 4)) + np.array([0, 0, 0, 1.5]), jnp.float32
         ),
@@ -65,6 +66,9 @@ def main():
     p.add_argument("--max_grad", type=float, default=0.01,
                    help="ADC densify gradient threshold")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gt_clusters", type=int, default=24)
+    p.add_argument("--gt_scale", type=float, default=-2.6,
+                   help="mean log-scale of GT gaussians (smaller = finer)")
     args = p.parse_args()
 
     import jax
@@ -81,7 +85,10 @@ def main():
     fx = fy = 0.9 * args.width
     cx, cy = args.width / 2.0, args.height / 2.0
 
-    gt_params, init_cloud = make_gt_scene(args.gt_gaussians, args.seed)
+    gt_params, init_cloud = make_gt_scene(
+        args.gt_gaussians, args.seed, n_clusters=args.gt_clusters,
+        scale_mean=args.gt_scale,
+    )
 
     # Ground-truth views on an orbit arc around the scene.
     center = np.array([0.0, 0.0, 4.5])

@@ -356,3 +356,20 @@ def test_render_cli_resolution_override_rescales_intrinsics():
     # No override -> unchanged.
     out = mod.apply_resolution_override(540, 960, 500.0, 500.0, 480.0, 270.0)
     assert out == (540, 960, 500.0, 500.0, 480.0, 270.0)
+
+
+def test_device_batches_matches_host_batches(tmp_path):
+    """device_batches must yield the same batch content as batches() for
+    the same seed, with device-resident images."""
+    d = _make_dataset_dir(tmp_path)
+    ds = GaussianDataset(d, scale_factor=1.0)
+    host = ds.batches(batch_size=2, seed=7)
+    dev = ds.device_batches(batch_size=2, seed=7)
+    for _ in range(3):
+        a = next(host)
+        b = next(dev)
+        np.testing.assert_allclose(np.asarray(b["image"]), a["image"],
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(b["c2w"]), a["c2w"])
+        np.testing.assert_allclose(np.asarray(b["fx"]), a["fx"])
+    assert ds.size_bytes() == len(ds) * ds.height * ds.width * 12
