@@ -272,9 +272,14 @@ def rasterize_binned_pallas(
     colors: jnp.ndarray,
     binning: TileBinning,
     cfg: RenderConfig,
+    mega: bool = False,
 ):
-    """Rasterize via the Pallas TPU kernel (ops/raster_pallas.py)."""
+    """Rasterize via the Pallas TPU kernel (ops/raster_pallas.py), or the
+    mega-stepped variant (ops/raster_mega.py) when `mega` is set."""
     from .raster_pallas import FEAT_WIDTH, _use_interpret, composite_pairs
+
+    if mega:
+        from .raster_mega import composite_pairs_mega as composite_pairs  # noqa: F811
 
     if not _use_interpret():
         # Mosaic block-shape constraint: the last two dims of every block
@@ -434,8 +439,12 @@ def resolve_backend(cfg: RenderConfig) -> str:
     if backend == "auto":
         # Aligned Pallas kernel on TPU; XLA fallback elsewhere
         # (interpret-mode Pallas is only for small kernel-parity tests —
-        # it walks the grid in python). The segmented compact kernel
-        # ('pallas_seg') is opt-in until it beats 'pallas' on the bench.
+        # it walks the grid in python). Two alternative kernels are
+        # opt-in, both bit-compatible: 'pallas_mega' (8 blocks per grid
+        # step + manual flush DMAs — measured ~5% faster on the synthetic
+        # scene but ~17% slower on the trained-checkpoint scene) and
+        # 'pallas_seg' (compact unaligned layout — memory-lean, loses the
+        # saturation early-exit; NEXT.md §13).
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     return backend
 
@@ -453,6 +462,8 @@ def rasterize_binned(
     because the layout is already aligned.
     """
     backend = resolve_backend(cfg)
+    if backend == "pallas_mega":
+        return rasterize_binned_pallas(proj, colors, binning, cfg, mega=True)
     if backend in ("pallas", "pallas_seg"):
         return rasterize_binned_pallas(proj, colors, binning, cfg)
     return rasterize_binned_xla(proj, colors, binning, cfg)
@@ -465,6 +476,8 @@ def rasterize(proj: ProjectedGaussians, colors: jnp.ndarray, cfg: RenderConfig):
         binning = bin_gaussians_compact(proj, cfg)
         return rasterize_binned_seg(proj, colors, binning, cfg)
     binning = bin_gaussians(proj, cfg)
+    if backend == "pallas_mega":
+        return rasterize_binned_pallas(proj, colors, binning, cfg, mega=True)
     if backend == "pallas":
         return rasterize_binned_pallas(proj, colors, binning, cfg)
     return rasterize_binned_xla(proj, colors, binning, cfg)
