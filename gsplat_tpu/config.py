@@ -60,6 +60,14 @@ class RenderConfig:
     # used by the backward kernel (overflow reported, never silent).
     mega_block: int = 1024
     tile_list_cap: int = 16
+    # Antialiasing (beyond reference parity; default off):
+    #   "none"   — exact reference behavior (it omits the low-pass filter).
+    #   "dilate" — classic 3DGS +0.3 px^2 screen-space low-pass on Sigma2D.
+    #   "mip"    — Mip-Splatting-style 2D filter: dilation PLUS opacity
+    #              compensation sqrt(det Sigma / det(Sigma + 0.3 I)), so
+    #              sub-pixel splats don't gain energy when dilated.
+    aa_mode: str = "none"
+    aa_dilation: float = 0.3
 
     def __post_init__(self):
         # The binning pipeline packs (tile_x0, tile_y0, footprint_width) into

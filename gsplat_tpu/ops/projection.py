@@ -192,6 +192,23 @@ def project_gaussians(
     s_b = jnp.where(valid, s_b, 0.0)
     s_c = jnp.where(valid, s_c, 1.0)
 
+    # Optional screen-space antialiasing (cfg.aa_mode; default "none" keeps
+    # exact reference parity — the reference omits the original paper's
+    # +0.3 px low-pass, render.py:174-179). "mip" additionally scales
+    # opacity by sqrt(det/det') (Mip-Splatting Eq. 6) so dilating a
+    # sub-pixel splat does not inject energy.
+    if cfg.aa_mode == "dilate":
+        s_a = s_a + cfg.aa_dilation
+        s_c = s_c + cfg.aa_dilation
+    elif cfg.aa_mode == "mip":
+        det_before = jnp.maximum(s_a * s_c - s_b * s_b, 1e-12)
+        s_a = s_a + cfg.aa_dilation
+        s_c = s_c + cfg.aa_dilation
+        det_after = jnp.maximum(s_a * s_c - s_b * s_b, 1e-12)
+        opacity = opacity * jnp.sqrt(det_before / det_after)
+    elif cfg.aa_mode != "none":
+        raise ValueError(f"unknown aa_mode {cfg.aa_mode!r}")
+
     # Eigenvalue clamp (closed form; replaces render.py:177-179 eigh).
     s_a, s_b, s_c, lam_max = clamp_eigvals_2x2(s_a, s_b, s_c)
 
