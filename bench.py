@@ -131,6 +131,37 @@ def grad_parity_err():
 
 DEFAULT_CKPT = "bench_assets/trained_ckpt.npz"
 
+# v5e HBM bandwidth (speed-of-light denominator for the roofline model).
+HBM_BYTES_PER_S = 819e9
+
+
+def roofline_forward(cfg, n_gaussians, measured_s):
+    """Crude forward-pass roofline: the pipeline is HBM/data-movement bound
+    (the MXU work is negligible — SURVEY §6 metric 'vs roofline').
+
+    Traffic model (f32 everywhere, padded pair capacity C = padded_pairs):
+      sort: ~4 merge passes over (key, payload) read+write      = 4*2*2*4*C
+      pair-feature gather: write 10 rows + kernel reads 16 rows = 26*4*C
+      kernel tile planes: write + reassembly read               = 2*32*P_img
+      per-gaussian stages (cov/SH/proj, ~80 floats touched)     = 80*4*N
+    Reported fraction = speed-of-light time / measured time; the gap is
+    index-op latency + per-block kernel fixed costs (CLAUDE.md).
+    """
+    C = cfg.padded_pairs
+    img_px = cfg.num_tiles * 8 * cfg.tile * cfg.tile
+    bytes_moved = (
+        4 * 2 * 2 * 4 * C
+        + 26 * 4 * C
+        + 2 * 4 * img_px
+        + 80 * 4 * n_gaussians
+    )
+    sol_s = bytes_moved / HBM_BYTES_PER_S
+    return {
+        "roofline_fwd_gbytes": round(bytes_moved / 1e9, 3),
+        "roofline_fwd_sol_ms": round(sol_s * 1e3, 3),
+        "roofline_fwd_fraction": round(sol_s / measured_s, 3),
+    }
+
 
 def bench_checkpoint(path, height, width, iters):
     """FPS on a TRAINED checkpoint's gaussian distribution — the north-star
@@ -229,6 +260,7 @@ def main():
 
     extras = {
         "gaussians": args.gaussians,
+        **roofline_forward(cfg, args.gaussians, dt_fwd),
         "pairs": int(aux.num_pairs),
         "max_tile_count": int(aux.max_tile_count),
         "rays_per_s_fwd": args.height * args.width / dt_fwd,

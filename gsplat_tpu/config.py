@@ -168,3 +168,7 @@ class TrainConfig:
     # SH bands for view-dependent color (f_rest width 0/9/9/45), matching
     # reference data_loader.py:353-358.
     num_sh_bands: int = 3
+    # Skip parameter/optimizer updates whose gradients are non-finite (a
+    # poisoned batch or numeric blow-up then costs one step instead of the
+    # whole run); skipped steps are counted in metrics['nonfinite_skipped'].
+    nan_guard: bool = True

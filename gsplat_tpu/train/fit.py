@@ -49,6 +49,7 @@ class FitReport:
     checkpoints: list = field(default_factory=list)
     wall_time_s: float = 0.0
     overflow_events: int = 0
+    nonfinite_steps: int = 0  # updates skipped by the NaN guard
 
 
 def fit(
@@ -186,6 +187,7 @@ def fit(
     # screen radius between ADC boundaries.
     paper_adc = train_cfg.adc_mode == "paper"
     uv_sum = vis_sum = rad_max = None
+    skip_sum = None  # device-side accumulator (no per-step host sync)
     _accum3 = jax.jit(
         lambda a, b, c, da, db, dc: (a + da, b + db, jnp.maximum(c, dc))
     )
@@ -217,6 +219,10 @@ def fit(
             pos_grad_accum = g if pos_grad_accum is None else (
                 0.5 * pos_grad_accum + 0.5 * g
             )
+
+        if "nonfinite_skipped" in metrics:
+            s = metrics["nonfinite_skipped"]
+            skip_sum = s if skip_sum is None else skip_sum + s
 
         if it % log_every == 0 or it == train_cfg.iterations:
             loss = float(metrics["total"])
@@ -304,6 +310,13 @@ def fit(
             )
 
     report.iterations = train_cfg.iterations
+    if skip_sum is not None:
+        report.nonfinite_steps = int(skip_sum)
+        if report.nonfinite_steps:
+            log_fn(
+                f"NaN guard skipped {report.nonfinite_steps} "
+                f"non-finite update(s)"
+            )
     report.final_loss = report.losses[-1][1] if report.losses else float("nan")
     report.num_gaussians = int(state.pool.num_alive())
     report.wall_time_s = time.time() - t0

@@ -210,6 +210,28 @@ def make_train_step(render_cfg: RenderConfig, train_cfg: TrainConfig):
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.pool.params)
         params = optax.apply_updates(state.pool.params, updates)
+        if train_cfg.nan_guard:
+            # One poisoned batch must not destroy the run: if the loss or
+            # any gradient is non-finite, keep the previous parameters and
+            # optimizer state and report the skip.
+            finite = jnp.isfinite(loss)
+            for gleaf in jax.tree.leaves(grads):
+                finite &= jnp.all(jnp.isfinite(gleaf))
+            params = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old),
+                params, state.pool.params,
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: (
+                    jnp.where(finite, new, old)
+                    if hasattr(new, "shape") else new
+                ),
+                opt_state, state.opt_state,
+            )
+            metrics = dict(
+                metrics,
+                nonfinite_skipped=jnp.where(finite, 0, 1).astype(jnp.int32),
+            )
         new_state = TrainState(
             pool=GaussianPool(params=params, alive=state.pool.alive),
             opt_state=opt_state,

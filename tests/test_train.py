@@ -324,3 +324,46 @@ def test_fit_paper_adc_mode_trains(tmp_path):
     post_adc = [v for it, v in report.losses if it >= 10]
     assert report.final_loss <= min(post_adc[0], 2.0 * report.losses[0][1])
     assert int(state.pool.num_alive()) != 96  # paper ADC changed the pool
+
+
+def test_nan_guard_skips_poisoned_step():
+    """A batch that produces non-finite gradients must leave params and
+    optimizer state untouched and be reported; a clean batch then updates
+    normally."""
+    from conftest import make_scene
+
+    from gsplat_tpu import RenderConfig, render_from_params
+
+    scene = make_scene(None, n=64, seed_offset=41)
+    cfg = RenderConfig(height=64, width=64, max_pairs=2048, max_per_tile=128,
+                       tile_chunk=8, backend="xla")
+    tcfg = TrainConfig(capacity=128, batch_size=1, nan_guard=True)
+    pts = np.concatenate(
+        [np.asarray(scene["pos"]), np.asarray(scene["f_dc"])], axis=-1
+    ).astype(np.float32)
+    state = init_train_state(init_pool_from_points(pts, capacity=128), tcfg)
+    step = make_train_step(cfg, tcfg)
+
+    c2w = jnp.asarray(scene["c2w"])
+    img, _ = render_from_params(
+        {k: jnp.asarray(scene[k]) for k in
+         ("pos", "scale_raw", "q_raw", "opacity_raw", "f_dc", "f_rest")},
+        c2w, 60.0, 58.0, 32.5, 31.5, cfg,
+    )
+    good = {
+        "image": jnp.asarray(img)[None] + 0.1,
+        "c2w": c2w[None],
+        "fx": jnp.asarray([60.0]), "fy": jnp.asarray([58.0]),
+        "cx": jnp.asarray([32.5]), "cy": jnp.asarray([31.5]),
+    }
+    bad = dict(good)
+    bad["image"] = good["image"].at[0, 0, 0, 0].set(jnp.nan)
+
+    pos0 = np.asarray(state.pool.params["pos"])
+    state, m = step(state, bad)
+    assert int(m["nonfinite_skipped"]) == 1
+    np.testing.assert_array_equal(np.asarray(state.pool.params["pos"]), pos0)
+
+    state, m = step(state, good)
+    assert int(m["nonfinite_skipped"]) == 0
+    assert not np.array_equal(np.asarray(state.pool.params["pos"]), pos0)
