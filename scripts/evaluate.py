@@ -20,7 +20,7 @@ def main():
     p.add_argument("--max_views", type=int, default=None)
     p.add_argument("--max_pairs", type=int, default=2**21)
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "xla"))
+                   choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
     p.add_argument("--json", action="store_true", help="print JSON only")
     args = p.parse_args()
 

@@ -48,7 +48,7 @@ def main():
                         "everywhere")
     p.add_argument("--max_pairs", type=int, default=2**21)
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "xla"))
+                   choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
     args = p.parse_args()
 
     from render_trained import load_params, resolve_checkpoint

@@ -89,7 +89,7 @@ def main():
     p.add_argument("--save_depth", action="store_true",
                    help="also write normalized depth maps for orbit frames")
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "xla"))
+                   choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
     args = p.parse_args()
 
     import jax.numpy as jnp

@@ -40,7 +40,7 @@ def main():
     p.add_argument("--checkpoint_interval", type=int, default=1000)
     p.add_argument("--resume_from", default=None)
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
     p.add_argument("--adc_mode", default="reference",
                    choices=("reference", "paper"),
                    help="density control rules: the reference's world-space"
