@@ -71,16 +71,31 @@ def initialize_multihost(
     naturally because JAX orders devices host-major.
     """
     if num_processes is not None and num_processes > 1:
+        # Explicit multi-process request: initialization failures and
+        # topology mismatches are FATAL — degrading to single-process here
+        # would silently train on 1/N of the pod.
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        got = jax.process_count()
+        if got != num_processes:
+            raise RuntimeError(
+                f"requested {num_processes} processes but the distributed "
+                f"runtime reports {got} — pod misconfiguration"
+            )
     elif coordinator_address is None and num_processes is None:
         try:  # TPU pod auto-detection; a no-op single-process fallback
             jax.distributed.initialize()
-        except Exception:
-            pass
+        except Exception as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jax.distributed.initialize() auto-detection failed (%s); "
+                "continuing SINGLE-PROCESS. Pass coordinator_address/"
+                "num_processes/process_id explicitly on a pod.", e,
+            )
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -66,6 +66,9 @@ def main():
     p.add_argument("--max_grad", type=float, default=0.01,
                    help="ADC densify gradient threshold")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--adc_mode", default="reference",
+                   choices=("reference", "paper"))
+    p.add_argument("--densify_grad_threshold", type=float, default=0.0002)
     p.add_argument("--gt_clusters", type=int, default=24)
     p.add_argument("--gt_scale", type=float, default=-2.6,
                    help="mean log-scale of GT gaussians (smaller = finer)")
@@ -159,6 +162,14 @@ def main():
         checkpoint_interval=10**9,
         position_lr_max_steps=args.iterations,
         max_grad=args.max_grad,
+        adc_mode=args.adc_mode,
+        densify_grad_threshold=args.densify_grad_threshold,
+        # Scene extent for the paper-ADC size rules: the GT cloud spread.
+        scene_extent=float(
+            np.linalg.norm(
+                init_cloud[:, :3].max(0) - init_cloud[:, :3].min(0)
+            ) / 2.0
+        ),
     )
 
     t0 = time.time()
