@@ -30,7 +30,7 @@ def timeit(fn, *args, iters=10):
 
 def main():
     n = 2**17
-    cfg = RenderConfig(height=1080, width=1920, max_pairs=2**22,
+    cfg = RenderConfig(height=1080, width=1920, max_pairs=5 * 2**19,
                        max_per_tile=2048, tile_chunk=32)
     params = make_scene(n)
     c2w = jnp.eye(4)
@@ -51,6 +51,34 @@ def main():
     t_bin, binning = timeit(bin_fn, proj)
     t_rast, (img, aux) = timeit(rast_fn, proj, colors, binning)
 
+    # Backward stages: grad of sum(img) w.r.t. the gathered pair features
+    # (kernel fwd+bwd + reduction) and w.r.t. params (full pipeline).
+    from gsplat_tpu.ops.rasterize import gather_pair_features, _pair_features
+    from gsplat_tpu import render_from_params
+
+    def to_pf(p):
+        cov = build_cov3d_packed(p["scale_raw"], p["q_raw"])
+        col = evaluate_sh(p["f_dc"], p["f_rest"], p["pos"], c2w)
+        pr = project_gaussians(p["pos"], cov, p["opacity_raw"], c2w,
+                               fx, fy, cx, cy, cfg)
+        b = bin_gaussians(pr, cfg)
+        f10 = _pair_features(pr, col, jnp.float32)[b.depth_order]
+        return gather_pair_features(cfg.max_pairs, f10, b.pair_slot,
+                                    b.perm, b.gauss_offsets)
+
+    t_pf_fwd, _ = timeit(jax.jit(lambda p: to_pf(p).sum()), params)
+    t_pf_bwd, _ = timeit(
+        jax.jit(jax.grad(lambda p: to_pf(p).sum())), params
+    )
+    t_full_fwd, _ = timeit(
+        jax.jit(lambda p: render_from_params(
+            p, c2w, fx, fy, cx, cy, cfg)[0].sum()), params
+    )
+    t_full_bwd, _ = timeit(
+        jax.jit(jax.grad(lambda p: render_from_params(
+            p, c2w, fx, fy, cx, cy, cfg)[0].sum())), params
+    )
+
     print(f"cov3d:     {t_cov*1e3:8.2f} ms")
     print(f"sh:        {t_sh*1e3:8.2f} ms")
     print(f"project:   {t_proj*1e3:8.2f} ms")
@@ -60,6 +88,13 @@ def main():
     print(f"total:     {total*1e3:8.2f} ms  ({1/total:.2f} FPS)")
     print(f"pairs={int(aux.num_pairs)} max_tile={int(aux.max_tile_count)}")
     print(f"image mean {float(img.mean()):.4f}")
+    print("--- pipeline cuts (single jit graphs) ---")
+    print(f"fwd to pair_feat:        {t_pf_fwd*1e3:8.2f} ms")
+    print(f"fwd+bwd to pair_feat:    {t_pf_bwd*1e3:8.2f} ms")
+    print(f"fwd full:                {t_full_fwd*1e3:8.2f} ms")
+    print(f"fwd+bwd full:            {t_full_bwd*1e3:8.2f} ms")
+    print(f"  kernel fwd (full-pf):  {(t_full_fwd-t_pf_fwd)*1e3:8.2f} ms")
+    print(f"  kernel+reduce bwd:     {(t_full_bwd-t_pf_bwd)*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
