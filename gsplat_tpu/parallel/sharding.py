@@ -35,7 +35,12 @@ from ..config import RenderConfig, TrainConfig
 from ..models.gaussians import GaussianPool
 from ..ops.losses import compute_loss
 from ..render import render_from_params
-from ..train.trainer import TrainState, _clip_pos_grad, make_optimizer
+from ..train.trainer import (
+    TrainState,
+    _clip_pos_grad,
+    _guard_nonfinite,
+    make_optimizer,
+)
 from .mesh import DATA_AXIS, TILE_AXIS
 
 
@@ -150,15 +155,21 @@ def make_sharded_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.pool.params)
         params = optax.apply_updates(state.pool.params, updates)
+        metrics = {"total": loss, "l1": l1, "ssim": ssim,
+                   "pos_grad": grads["pos"],
+                   "max_band_pairs": band_pairs,
+                   "band_pair_capacity": jnp.int32(band_cfg.max_pairs)}
+        if train_cfg.nan_guard:
+            params, opt_state, skipped = _guard_nonfinite(
+                loss, grads, params, state.pool.params,
+                opt_state, state.opt_state,
+            )
+            metrics["nonfinite_skipped"] = skipped
         new_state = TrainState(
             pool=GaussianPool(params=params, alive=state.pool.alive),
             opt_state=opt_state,
             step=state.step + 1,
         )
-        metrics = {"total": loss, "l1": l1, "ssim": ssim,
-                   "pos_grad": grads["pos"],
-                   "max_band_pairs": band_pairs,
-                   "band_pair_capacity": jnp.int32(band_cfg.max_pairs)}
         return new_state, metrics
 
     return step_fn
@@ -385,16 +396,22 @@ def make_gauss_sharded_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.pool.params)
         params = optax.apply_updates(state.pool.params, updates)
-        new_state = TrainState(
-            pool=GaussianPool(params=params, alive=state.pool.alive),
-            opt_state=opt_state,
-            step=state.step + 1,
-        )
         metrics = {"total": loss, "l1": l1, "ssim": ssim,
                    "pos_grad": grads["pos"],
                    "max_band_pairs": band_pairs,
                    "band_pair_capacity": jnp.int32(band_cfg.max_pairs),
                    "ring_overflow": ring_ovf}
+        if train_cfg.nan_guard:
+            params, opt_state, skipped = _guard_nonfinite(
+                loss, grads, params, state.pool.params,
+                opt_state, state.opt_state,
+            )
+            metrics["nonfinite_skipped"] = skipped
+        new_state = TrainState(
+            pool=GaussianPool(params=params, alive=state.pool.alive),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
         return new_state, metrics
 
     return step_fn

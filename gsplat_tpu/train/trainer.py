@@ -97,6 +97,24 @@ def init_train_state(pool: GaussianPool, cfg: TrainConfig) -> TrainState:
     )
 
 
+def _guard_nonfinite(loss, grads, new_params, old_params, new_opt, old_opt):
+    """Keep the previous params/opt-state when loss or any grad is
+    non-finite. Returns (params, opt_state, skipped_flag)."""
+    finite = jnp.isfinite(loss)
+    for gleaf in jax.tree.leaves(grads):
+        finite &= jnp.all(jnp.isfinite(gleaf))
+    params = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old), new_params, old_params
+    )
+    opt_state = jax.tree.map(
+        lambda new, old: (
+            jnp.where(finite, new, old) if hasattr(new, "shape") else new
+        ),
+        new_opt, old_opt,
+    )
+    return params, opt_state, jnp.where(finite, 0, 1).astype(jnp.int32)
+
+
 def _clip_pos_grad(grads: dict, max_norm: float) -> dict:
     """clip_grad_norm_ on the position leaf only (train.py:536)."""
     g = grads["pos"]
@@ -214,24 +232,11 @@ def make_train_step(render_cfg: RenderConfig, train_cfg: TrainConfig):
             # One poisoned batch must not destroy the run: if the loss or
             # any gradient is non-finite, keep the previous parameters and
             # optimizer state and report the skip.
-            finite = jnp.isfinite(loss)
-            for gleaf in jax.tree.leaves(grads):
-                finite &= jnp.all(jnp.isfinite(gleaf))
-            params = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old),
-                params, state.pool.params,
-            )
-            opt_state = jax.tree.map(
-                lambda new, old: (
-                    jnp.where(finite, new, old)
-                    if hasattr(new, "shape") else new
-                ),
+            params, opt_state, skipped = _guard_nonfinite(
+                loss, grads, params, state.pool.params,
                 opt_state, state.opt_state,
             )
-            metrics = dict(
-                metrics,
-                nonfinite_skipped=jnp.where(finite, 0, 1).astype(jnp.int32),
-            )
+            metrics = dict(metrics, nonfinite_skipped=skipped)
         new_state = TrainState(
             pool=GaussianPool(params=params, alive=state.pool.alive),
             opt_state=opt_state,
