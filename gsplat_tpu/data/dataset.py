@@ -43,7 +43,15 @@ class GaussianDataset:
         cam_meta_path: str | None = None,
         scale_factor: float = 0.5,
         cache: bool = True,
+        holdout_every: int = 0,
+        split: str = "all",
     ):
+        """Args (beyond the obvious):
+            holdout_every: standard llffhold protocol — every Nth view is
+                held out for evaluation (8 in the 3DGS papers; 0 disables).
+            split: 'all' | 'train' (views NOT held out) | 'test' (held-out
+                views only). Requires holdout_every > 0 for train/test.
+        """
         self.data_dir = data_dir
         self.image_paths = list_images(os.path.join(data_dir, image_dir))
         if not self.image_paths:
@@ -53,6 +61,21 @@ class GaussianDataset:
             cam_meta_path = os.path.join(data_dir, "cam_meta.npy")
         self.cam_params = load_camera_parameters(cam_meta_path)
         self.c2w = self._load_poses()
+
+        if split not in ("all", "train", "test"):
+            raise ValueError(f"split must be all/train/test, got {split!r}")
+        if split != "all":
+            if holdout_every <= 0:
+                raise ValueError("train/test split needs holdout_every > 0")
+            idx = np.arange(len(self.image_paths))
+            test = idx % holdout_every == 0
+            keep = test if split == "test" else ~test
+            self.image_paths = [
+                p for p, k in zip(self.image_paths, keep) if k
+            ]
+            self.c2w = self.c2w[keep]
+        self.holdout_every = holdout_every
+        self.split = split
         self._cache: dict[int, np.ndarray] | None = {} if cache else None
 
         # Standardize geometry from the first view (static shapes for XLA).

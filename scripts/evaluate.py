@@ -18,6 +18,9 @@ def main():
     p.add_argument("--data_dir", required=True)
     p.add_argument("--scale_factor", type=float, default=0.5)
     p.add_argument("--max_views", type=int, default=None)
+    p.add_argument("--holdout_every", type=int, default=0,
+                   help="evaluate on the held-out test views (every Nth; "
+                        "must match the --holdout_every used in training)")
     p.add_argument("--max_pairs", type=int, default=2**21)
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
@@ -31,7 +34,11 @@ def main():
     from gsplat_tpu.evaluation import evaluate_views
 
     params, alive = load_params(resolve_checkpoint(args.checkpoint))
-    ds = GaussianDataset(args.data_dir, scale_factor=args.scale_factor)
+    ds = GaussianDataset(
+        args.data_dir, scale_factor=args.scale_factor,
+        holdout_every=args.holdout_every,
+        split="test" if args.holdout_every else "all",
+    )
     cfg = RenderConfig(height=ds.height, width=ds.width,
                        max_pairs=args.max_pairs, backend=args.backend)
     n = len(ds) if args.max_views is None else min(len(ds), args.max_views)

@@ -88,6 +88,12 @@ def main():
     p.add_argument("--render_training_views", action="store_true")
     p.add_argument("--save_depth", action="store_true",
                    help="also write normalized depth maps for orbit frames")
+    p.add_argument("--export_ply", default=None,
+                   help="also write the gaussians as a standard 3DGS PLY "
+                        "(loadable by public splat viewers)")
+    p.add_argument("--ply_external_colors", action="store_true",
+                   help="remap the DC color term for INRIA-convention "
+                        "viewers (approximate for view-dependent color)")
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
     args = p.parse_args()
@@ -133,6 +139,17 @@ def main():
     render_fn = make_render_fn(params, cfg, fx, fy, cx, cy, alive=alive)
 
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.export_ply:
+        from gsplat_tpu.data.gsply import export_gaussians_ply
+
+        n_written = export_gaussians_ply(
+            args.export_ply,
+            {k: np.asarray(v) for k, v in params.items()},
+            alive=None if alive is None else np.asarray(alive),
+            convert_colors=args.ply_external_colors,
+        )
+        print(f"exported {n_written} gaussians to {args.export_ply}")
 
     if args.render_training_views and c2ws is not None:
         from gsplat_tpu.data.images import save_image

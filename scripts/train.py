@@ -22,6 +22,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--scale_factor", type=float, default=0.5,
                    help="image resolution multiplier (0.5 = half size)")
+    p.add_argument("--holdout_every", type=int, default=0,
+                   help="hold out every Nth view for evaluation (llffhold "
+                        "protocol; 8 in the 3DGS papers; 0 = train on all)")
     p.add_argument("--capacity", type=int, default=2**17,
                    help="gaussian pool capacity (static; ADC grows into it)")
     p.add_argument("--max_pairs", type=int, default=2**21)
@@ -71,7 +74,11 @@ def main():
     from gsplat_tpu.data import GaussianDataset
     from gsplat_tpu.train.fit import fit
 
-    dataset = GaussianDataset(args.data_dir, scale_factor=args.scale_factor)
+    dataset = GaussianDataset(
+        args.data_dir, scale_factor=args.scale_factor,
+        holdout_every=args.holdout_every,
+        split="train" if args.holdout_every else "all",
+    )
     print(
         f"dataset: {len(dataset)} views at {dataset.width}x{dataset.height}, "
         f"fx={dataset.fx:.1f}"

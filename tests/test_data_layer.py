@@ -373,3 +373,82 @@ def test_device_batches_matches_host_batches(tmp_path):
         np.testing.assert_allclose(np.asarray(b["c2w"]), a["c2w"])
         np.testing.assert_allclose(np.asarray(b["fx"]), a["fx"])
     assert ds.size_bytes() == len(ds) * ds.height * ds.width * 12
+
+
+def test_holdout_split(tmp_path):
+    """llffhold protocol: every Nth view goes to the test split; train and
+    test partition the dataset with consistent poses."""
+    d = _make_dataset_dir(tmp_path, n_views=9)
+    full = GaussianDataset(d, scale_factor=1.0)
+    train = GaussianDataset(d, scale_factor=1.0, holdout_every=3,
+                            split="train")
+    test = GaussianDataset(d, scale_factor=1.0, holdout_every=3,
+                           split="test")
+    assert len(test) == 3 and len(train) == 6
+    assert len(train) + len(test) == len(full)
+    # Views 0, 3, 6 held out; poses must follow their images.
+    np.testing.assert_allclose(test.c2w[1], full.c2w[3])
+    np.testing.assert_allclose(train.c2w[0], full.c2w[1])
+    with pytest.raises(ValueError):
+        GaussianDataset(d, split="train")  # needs holdout_every
+
+
+def test_gsply_roundtrip_and_render_equality(tmp_path):
+    """Standard-3DGS PLY export -> import must be lossless (modulo quat
+    normalization) and render identically."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig, render_from_params
+    from gsplat_tpu.data.gsply import export_gaussians_ply, import_gaussians_ply
+
+    rng = np.random.default_rng(9)
+    n = 120
+    params = {
+        "pos": np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                         rng.uniform(3, 5, n)], -1).astype(np.float32),
+        "scale_raw": (rng.normal(0, 0.2, (n, 3)) - 2.0).astype(np.float32),
+        "q_raw": (rng.normal(0, 1, (n, 4)) + [0, 0, 0, 2.0]).astype(
+            np.float32
+        ),
+        "opacity_raw": rng.normal(1.0, 0.5, n).astype(np.float32),
+        "f_dc": rng.normal(0, 0.8, (n, 3)).astype(np.float32),
+        "f_rest": rng.normal(0, 0.05, (n, 45)).astype(np.float32),
+    }
+    alive = np.ones(n, bool)
+    alive[::7] = False
+    path = str(tmp_path / "scene.ply")
+    written = export_gaussians_ply(path, params, alive=alive)
+    assert written == int(alive.sum())
+
+    back = import_gaussians_ply(path)
+    assert back["pos"].shape == (written, 3)
+    np.testing.assert_allclose(back["pos"], params["pos"][alive], atol=1e-7)
+    np.testing.assert_allclose(back["f_rest"], params["f_rest"][alive],
+                               atol=1e-7)
+    np.testing.assert_allclose(back["opacity_raw"],
+                               params["opacity_raw"][alive], atol=1e-7)
+
+    cfg = RenderConfig(height=64, width=64, max_pairs=2048, max_per_tile=128,
+                       backend="xla")
+    c2w = jnp.eye(4)
+    img_a, _ = render_from_params(
+        {k: jnp.asarray(v) for k, v in params.items()}, c2w,
+        60.0, 60.0, 32.0, 32.0, cfg, alive=jnp.asarray(alive),
+    )
+    img_b, _ = render_from_params(
+        {k: jnp.asarray(v) for k, v in back.items()}, c2w,
+        60.0, 60.0, 32.0, 32.0, cfg,
+    )
+    # Quaternion normalization at export is a no-op for rendering (the
+    # covariance build normalizes too).
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a),
+                               atol=1e-5)
+
+    # External-color export keeps the DC color to first order.
+    path2 = str(tmp_path / "scene_ext.ply")
+    export_gaussians_ply(path2, params, alive=alive, convert_colors=True)
+    ext = import_gaussians_ply(path2)
+    from gsplat_tpu.data.gsply import SH_C0
+    ours = 1.0 / (1.0 + np.exp(-params["f_dc"][alive] * SH_C0))
+    theirs = 0.5 + ext["f_dc"] * SH_C0
+    np.testing.assert_allclose(theirs, ours, atol=1e-5)
