@@ -28,6 +28,41 @@ import numpy as np
 from .images import list_images, load_image, resize_image
 
 
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run any (endless or finite) iterator in a daemon thread with a
+    bounded queue; exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surface in the consumer thread
+            q.put(("__prefetch_error__", e))
+        q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if (
+                isinstance(item, tuple)
+                and len(item) == 2
+                and item[0] == "__prefetch_error__"
+            ):
+                raise item[1]
+            yield item
+
+    return gen()
+
+
 def load_camera_parameters(cam_meta_path: str) -> dict:
     """Load the cam_meta.npy dict (reference data_loader.py:30-47)."""
     return np.load(cam_meta_path, allow_pickle=True).item()
@@ -233,6 +268,19 @@ class GaussianDataset:
     def size_bytes(self) -> int:
         """Approximate device footprint of the full image set."""
         return len(self) * self.height * self.width * 3 * 4
+
+    def prefetched_batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        depth: int = 2,
+    ) -> Iterator[dict]:
+        """`batches()` behind a background thread: image decode/rescale
+        (PIL releases the GIL) overlaps the accelerator step. Useful for
+        the first epoch on large datasets; after that the in-memory cache
+        makes plain `batches()` equally fast."""
+        return prefetch(self.batches(batch_size, shuffle, seed), depth)
 
     def pointcloud_path(self) -> str | None:
         for name in ("pointcloud.ply", "points.ply", "pointcloud.npy"):

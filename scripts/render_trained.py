@@ -30,9 +30,15 @@ def resolve_checkpoint(path_or_dir: str) -> str:
 
 
 def load_params(path: str):
-    """Load (params dict, alive mask) from .npz pool or legacy .pt files."""
+    """Load (params dict, alive mask) from a .npz pool, a standard 3DGS
+    .ply (scenes trained by other tools), or legacy reference .pt files."""
     import jax.numpy as jnp
 
+    if path.endswith(".ply"):
+        from gsplat_tpu.data.gsply import import_gaussians_ply
+
+        params = import_gaussians_ply(path)
+        return {k: jnp.asarray(v) for k, v in params.items()}, None
     if path.endswith(".npz"):
         from gsplat_tpu.models.gaussians import GaussianPool
         from gsplat_tpu.train.trainer import restore_pool

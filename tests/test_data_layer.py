@@ -452,3 +452,25 @@ def test_gsply_roundtrip_and_render_equality(tmp_path):
     ours = 1.0 / (1.0 + np.exp(-params["f_dc"][alive] * SH_C0))
     theirs = 0.5 + ext["f_dc"] * SH_C0
     np.testing.assert_allclose(theirs, ours, atol=1e-5)
+
+
+def test_prefetched_batches_match_and_propagate_errors(tmp_path):
+    from gsplat_tpu.data.dataset import prefetch
+
+    d = _make_dataset_dir(tmp_path)
+    ds = GaussianDataset(d, scale_factor=1.0)
+    plain = ds.batches(2, seed=3)
+    pre = ds.prefetched_batches(2, seed=3)
+    for _ in range(4):
+        a, b = next(plain), next(pre)
+        np.testing.assert_allclose(b["image"], a["image"])
+        np.testing.assert_allclose(b["c2w"], a["c2w"])
+
+    def boom():
+        yield {"x": 1}
+        raise RuntimeError("decode failed")
+
+    it = prefetch(boom())
+    assert next(it) == {"x": 1}
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
