@@ -62,12 +62,14 @@ def band_config(cfg: RenderConfig, n_bands: int) -> tuple[RenderConfig, int]:
 
 
 def render_band(params, c2w, fx, fy, cx, cy, cfg: RenderConfig,
-                band_cfg: RenderConfig, band_px: int, alive=None):
+                band_cfg: RenderConfig, band_px: int, alive=None,
+                uv_tap=None):
     """Render this device's band of the image (call inside shard_map)."""
     b = jax.lax.axis_index(TILE_AXIS)
     cy_local = cy - (b * band_px).astype(jnp.float32)
     img, aux = render_from_params(
-        params, c2w, fx, fy, cx, cy_local, band_cfg, alive=alive
+        params, c2w, fx, fy, cx, cy_local, band_cfg, alive=alive,
+        uv_tap=uv_tap,
     )
     return img, aux
 
@@ -91,36 +93,57 @@ def make_sharded_train_step(
     tx = make_optimizer(train_cfg)
     n_tile = mesh.shape[TILE_AXIS]
     band_cfg, band_px = band_config(render_cfg, n_tile)
+    paper = train_cfg.adc_mode == "paper"
 
     def device_fn(params, alive, batch):
-        def loss_fn(p):
-            def view_loss(carry, view):
+        n = alive.shape[0]
+        b_local = batch["c2w"].shape[0]
+
+        def loss_fn(p, taps):
+            def view_loss(carry, xs):
+                view, tap = xs
                 band, aux = render_band(
                     p, view["c2w"], view["fx"], view["fy"], view["cx"],
                     view["cy"], render_cfg, band_cfg, band_px, alive=alive,
+                    uv_tap=None if not paper else tap,
                 )
                 img = gather_bands(band, render_cfg)
                 total, comps = compute_loss(
                     img, view["image"], train_cfg.lambda_l1,
                     train_cfg.lambda_ssim,
                 )
-                return carry, (total, comps["l1"], comps["ssim"],
-                               aux.num_pairs)
+                out = (total, comps["l1"], comps["ssim"], aux.num_pairs)
+                if paper:
+                    out += (jax.lax.stop_gradient(aux.screen_radius),)
+                return carry, out
 
             # No outer remat: the rasterizer's VJP keeps O(pixels)
             # residuals (see train/trainer.py note).
-            _, (totals, l1s, ssims, pairs) = jax.lax.scan(
-                view_loss, 0.0, batch
-            )
+            _, outs = jax.lax.scan(view_loss, 0.0, (batch, taps))
+            totals, l1s, ssims, pairs = outs[:4]
+            radii = outs[4] if paper else None
             return jnp.mean(totals), (
-                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs)
+                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs), radii
             )
 
-        (loss, (l1, ssim, band_pairs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
+        taps = jnp.zeros((b_local, n, 2), jnp.float32)
+        if paper:
+            (loss, (l1, ssim, band_pairs, radii)), (grads, tap_grads) = (
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                    params, taps
+                )
+            )
+        else:
+            (loss, (l1, ssim, band_pairs, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, taps)
         # Band partials -> full gradient; then average over the data axis.
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, TILE_AXIS), grads)
+        # pmean (not psum) over 'tile': every tile device evaluates the SAME
+        # full-image loss, so each band's cotangent arrives n_tile-scaled
+        # through the gather_bands transpose (measured ratio exactly n_tile;
+        # Adam's scale invariance hid this, but grad_clip_pos and the ADC's
+        # pos_grad statistics must see the true gradient).
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, TILE_AXIS), grads)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
         loss = jax.lax.pmean(loss, DATA_AXIS)
         l1 = jax.lax.pmean(l1, DATA_AXIS)
@@ -131,21 +154,46 @@ def make_sharded_train_step(
         band_pairs = jax.lax.pmax(
             jax.lax.pmax(band_pairs, TILE_AXIS), DATA_AXIS
         )
-        return grads, loss, l1, ssim, band_pairs
+        if not paper:
+            return grads, loss, l1, ssim, band_pairs
+        # Paper-ADC statistics (3DGS §5.2), assembled across the mesh to
+        # match the single-device convention (batch-MEAN loss, so per-view
+        # tap grads carry a 1/B factor):
+        # * view-space gradient: bands combine with pmean over 'tile'
+        #   (measured: per-device tap cotangents arrive n_tile-scaled
+        #   through the gather_bands transpose — the pmean yields exactly
+        #   the single-device per-view gradient), then pmean over 'data'
+        #   restores the global-batch 1/B scale.
+        # * visibility: a gaussian is visible in a view if any band saw a
+        #   positive screen radius (pmax over 'tile' BEFORE thresholding);
+        #   counts sum over the global batch (psum over 'data').
+        tap_view = jax.lax.pmean(tap_grads, TILE_AXIS)  # [B, N, 2]
+        uv_grad_sum = jax.lax.pmean(
+            jnp.sum(jnp.linalg.norm(tap_view, axis=-1), axis=0), DATA_AXIS
+        )  # [N]
+        radii_view = jax.lax.pmax(radii, TILE_AXIS)  # [B, N]
+        visible = jax.lax.psum(
+            jnp.sum((radii_view > 0).astype(jnp.int32), axis=0), DATA_AXIS
+        )  # [N]
+        max_radius = jax.lax.pmax(jnp.max(radii_view, axis=0), DATA_AXIS)
+        return grads, loss, l1, ssim, band_pairs, (
+            uv_grad_sum, visible, max_radius
+        )
 
+    n_stats = 6 if paper else 5
     sharded = jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS)),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(),) * n_stats,
         check_vma=False,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch: dict):
-        grads, loss, l1, ssim, band_pairs = sharded(
-            state.pool.params, state.pool.alive, batch
-        )
+        outs = sharded(state.pool.params, state.pool.alive, batch)
+        grads, loss, l1, ssim, band_pairs = outs[:5]
+        paper_stats = outs[5] if paper else None
         grads = _clip_pos_grad(grads, train_cfg.grad_clip_pos)
         grads = jax.tree.map(
             lambda g: jnp.where(
@@ -159,6 +207,9 @@ def make_sharded_train_step(
                    "pos_grad": grads["pos"],
                    "max_band_pairs": band_pairs,
                    "band_pair_capacity": jnp.int32(band_cfg.max_pairs)}
+        if paper:
+            metrics["uv_grad_sum"], metrics["visible"], \
+                metrics["max_radius"] = paper_stats
         if train_cfg.nan_guard:
             params, opt_state, skipped = _guard_nonfinite(
                 loss, grads, params, state.pool.params,
@@ -298,7 +349,10 @@ def make_gauss_sharded_train_step(
         overflow = jnp.maximum(demand - cap, 0)
         return proj_band, colors_band, overflow
 
-    def render_band_gauss_sharded(params, alive, c2w, fx, fy, cx, cy):
+    paper = train_cfg.adc_mode == "paper"
+
+    def render_band_gauss_sharded(params, alive, c2w, fx, fy, cx, cy,
+                                  uv_tap=None):
         """Project the LOCAL gaussian shard, exchange over 'tile', render
         my band.
 
@@ -313,7 +367,7 @@ def make_gauss_sharded_train_step(
         )
         proj = project_gaussians(
             params["pos"], cov3d, params["opacity_raw"], c2w,
-            fx, fy, cx, cy, render_cfg, extra_valid=alive,
+            fx, fy, cx, cy, render_cfg, extra_valid=alive, uv_tap=uv_tap,
         )
         b = jax.lax.axis_index(TILE_AXIS)
         row0 = (b * band_rows).astype(jnp.int32)
@@ -321,39 +375,61 @@ def make_gauss_sharded_train_step(
         proj_band, colors_band, ring_overflow = collect(proj, colors, row0)
         binning = bin_gaussians(proj_band, band_cfg)
         img, _ = rasterize_binned(proj_band, colors_band, binning, band_cfg)
-        return img, binning.num_pairs, ring_overflow
+        # radius is the LOCAL shard's full-frame screen radius (computed
+        # before band localization) — exactly the per-view visibility /
+        # screen-size statistic the paper ADC wants, already shard-local.
+        return img, binning.num_pairs, ring_overflow, proj.radius
 
     def device_fn(params, alive, batch):
-        def loss_fn(p):
-            def view_loss(carry, view):
-                band, n_pairs, ring_ovf = render_band_gauss_sharded(
+        n_local = alive.shape[0]
+        b_local = batch["c2w"].shape[0]
+
+        def loss_fn(p, taps):
+            def view_loss(carry, xs):
+                view, tap = xs
+                band, n_pairs, ring_ovf, radius = render_band_gauss_sharded(
                     p, alive, view["c2w"], view["fx"], view["fy"],
                     view["cx"], view["cy"],
+                    uv_tap=None if not paper else tap,
                 )
                 img = gather_bands(band, render_cfg)
                 total, comps = compute_loss(
                     img, view["image"], train_cfg.lambda_l1,
                     train_cfg.lambda_ssim,
                 )
-                return carry, (
-                    total, comps["l1"], comps["ssim"], n_pairs, ring_ovf
-                )
+                out = (total, comps["l1"], comps["ssim"], n_pairs, ring_ovf)
+                if paper:
+                    out += (jax.lax.stop_gradient(radius),)
+                return carry, out
 
             # No outer remat: the rasterizer's VJP keeps O(pixels)
             # residuals (see train/trainer.py note).
-            _, (totals, l1s, ssims, pairs, ring_ovfs) = jax.lax.scan(
-                view_loss, 0.0, batch
-            )
+            _, outs = jax.lax.scan(view_loss, 0.0, (batch, taps))
+            totals, l1s, ssims, pairs, ring_ovfs = outs[:5]
+            radii = outs[5] if paper else None
             return jnp.mean(totals), (
                 jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs),
-                jnp.max(ring_ovfs),
+                jnp.max(ring_ovfs), radii,
             )
 
-        (loss, (l1, ssim, band_pairs, ring_ovf)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
+        taps = jnp.zeros((b_local, n_local, 2), jnp.float32)
+        if paper:
+            (loss, (l1, ssim, band_pairs, ring_ovf, radii)), (
+                grads, tap_grads
+            ) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, taps
+            )
+        else:
+            (loss, (l1, ssim, band_pairs, ring_ovf, _)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(params, taps)
+            )
         # Grads are already shard-local along the capacity axis (all_gather
-        # transpose); just average over the data axis.
+        # transpose), but n_tile-scaled: every tile device evaluates the SAME
+        # full-image loss, so the exchange transpose sums n_tile identical
+        # cotangent contributions (measured ratio exactly n_tile; Adam hid
+        # it, but clipping and ADC statistics must see the true gradient).
+        # Then average over the data axis.
+        grads = jax.tree.map(lambda g: g / n_tile, grads)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
         loss = jax.lax.pmean(loss, DATA_AXIS)
         l1 = jax.lax.pmean(l1, DATA_AXIS)
@@ -373,21 +449,39 @@ def make_gauss_sharded_train_step(
         ring_ovf = jax.lax.pmax(
             jax.lax.pmax(ring_ovf, TILE_AXIS), DATA_AXIS
         )
-        return grads, loss, l1, ssim, band_pairs, ring_ovf
+        if not paper:
+            return grads, loss, l1, ssim, band_pairs, ring_ovf
+        # Paper-ADC statistics, SHARD-LOCAL [N_local] (same P(TILE) layout
+        # as the pool): tap grads arrive through the exchange collective's
+        # transpose n_tile-scaled (same mechanism as the param grads above);
+        # radius comes from the local full-frame projection. pmean over
+        # 'data' restores the single-device global-batch 1/B loss scale.
+        uv_grad_sum = jax.lax.pmean(
+            jnp.sum(jnp.linalg.norm(tap_grads / n_tile, axis=-1), axis=0),
+            DATA_AXIS,
+        )
+        visible = jax.lax.psum(
+            jnp.sum((radii > 0).astype(jnp.int32), axis=0), DATA_AXIS
+        )
+        max_radius = jax.lax.pmax(jnp.max(radii, axis=0), DATA_AXIS)
+        return grads, loss, l1, ssim, band_pairs, ring_ovf, (
+            uv_grad_sum, visible, max_radius
+        )
 
     sharded = jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(DATA_AXIS)),
-        out_specs=(P(TILE_AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(), P(), P(), P(), P())
+        + ((P(TILE_AXIS),) if paper else ()),
         check_vma=False,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch: dict):
-        grads, loss, l1, ssim, band_pairs, ring_ovf = sharded(
-            state.pool.params, state.pool.alive, batch
-        )
+        outs = sharded(state.pool.params, state.pool.alive, batch)
+        grads, loss, l1, ssim, band_pairs, ring_ovf = outs[:6]
+        paper_stats = outs[6] if paper else None
         grads = jax.tree.map(
             lambda g: jnp.where(
                 state.pool.alive.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0
@@ -401,6 +495,9 @@ def make_gauss_sharded_train_step(
                    "max_band_pairs": band_pairs,
                    "band_pair_capacity": jnp.int32(band_cfg.max_pairs),
                    "ring_overflow": ring_ovf}
+        if paper:
+            metrics["uv_grad_sum"], metrics["visible"], \
+                metrics["max_radius"] = paper_stats
         if train_cfg.nan_guard:
             params, opt_state, skipped = _guard_nonfinite(
                 loss, grads, params, state.pool.params,

