@@ -26,7 +26,11 @@ from .ops import (  # noqa: F401
     scale_intrinsics,
     ssim_loss,
 )
-from .render import render, render_from_params  # noqa: F401
+from .render import (  # noqa: F401
+    render,
+    render_batch_from_params,
+    render_from_params,
+)
 
 __version__ = "0.1.0"
 

@@ -68,6 +68,12 @@ class RenderConfig:
     #              sub-pixel splats don't gain energy when dilated.
     aa_mode: str = "none"
     aa_dilation: float = 0.3
+    # Batched-view rendering (render.py::render_batch_from_params): B views
+    # are stacked into one virtual image of B * padded_height rows. uv stays
+    # VIEW-LOCAL; the rasterizer maps a tile row to its pixel row modulo
+    # `view_tile_rows` (the per-view tile-row count), all in exact int32, so
+    # per-view results are bit-identical to single-view rendering. 0 = off.
+    view_tile_rows: int = 0
 
     def __post_init__(self):
         # The binning pipeline packs (tile_x0, tile_y0, footprint_width) into
@@ -172,3 +178,8 @@ class TrainConfig:
     # poisoned batch or numeric blow-up then costs one step instead of the
     # whole run); skipped steps are counted in metrics['nonfinite_skipped'].
     nan_guard: bool = True
+    # Render the whole view batch through ONE shared binning sort + ONE
+    # kernel launch (render_batch_from_params) instead of a sequential
+    # lax.scan over views — amortizes the binning and kernel fixed costs.
+    # Pair capacity becomes batch_size * max_pairs SHARED across views.
+    batched_render: bool = False

@@ -113,7 +113,7 @@ def _mega_fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
         @pl.when(active & (state_ref[0] >= 0))
         def _(s=s, t_id=t_id):
             feats = feat_ref[:, s * SUB:(s + 1) * SUB].T  # [SUB, 16]
-            px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
+            px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id, cfg.view_tile_rows)
             alpha, *_ = _block_alpha(feats, px, py, cfg)
             s_log = jnp.log1p(-alpha)
             cum = _cumsum_rows_incl(s_log)
@@ -170,7 +170,7 @@ def _mega_fwd_pallas(pair_feat, block_tile, block_first, cfg: RenderConfig):
                          lambda b, bt, bf: (0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((8, P), jnp.float32),  # acc
             pltpu.VMEM((4, 8, P), jnp.float32),  # stage
@@ -253,7 +253,7 @@ def _mega_bwd_kernel(block_tile_ref, block_first_ref, feat_ref, gf_ref,
         @pl.when(active)
         def _(s=s, t_id=t_id):
             feats = feat_ref[:, s * SUB:(s + 1) * SUB].T  # [SUB, 16]
-            px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
+            px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id, cfg.view_tile_rows)
             alpha, du, dv, gau, a_raw = _block_alpha(feats, px, py, cfg)
             ca = feats[:, 2:3]
             cb = feats[:, 3:4]
@@ -359,7 +359,7 @@ def _mega_bwd_pallas(pair_feat, block_tile, block_first, fwd_out, gout,
             pl.BlockSpec((FEAT_WIDTH, cfg.mega_block),
                          lambda b, bt, bf: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((FEAT_WIDTH, cfg.mega_block),
                                lambda b, bt, bf: (0, b),

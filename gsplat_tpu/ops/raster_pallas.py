@@ -49,15 +49,23 @@ from ..config import RenderConfig
 FEAT_WIDTH = 16
 
 
-def _pixel_grid(t: int, P: int, tiles_x: int, tile_id):
-    """Global pixel-center coordinates of a tile's P = t*t pixels.
+def _pixel_grid(t: int, P: int, tiles_x: int, tile_id, rows_mod: int = 0):
+    """Pixel-center coordinates of a tile's P = t*t pixels.
 
     Pixel order matches the reference meshgrid(indexing='xy') flatten:
     index = py * t + px  (render.py:325-340).
+
+    rows_mod > 0 (batched-view rendering, RenderConfig.view_tile_rows):
+    tile rows wrap every `rows_mod` so each stacked view sees VIEW-LOCAL
+    pixel rows — exact int32 math, keeping batched rendering bit-identical
+    to per-view rendering.
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     ox = (tile_id % tiles_x) * t
-    oy = (tile_id // tiles_x) * t
+    ty = tile_id // tiles_x
+    if rows_mod:
+        ty = ty % rows_mod
+    oy = ty * t
     px = (lane % t + ox).astype(jnp.float32)
     py = (lane // t + oy).astype(jnp.float32)
     return px, py
@@ -137,7 +145,7 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
     @pl.when((first == 1) | (jnp.max(T_in) > cfg.transmittance_min))
     def _():
         feats = feat_ref[...].T  # [16, G] feature-major block -> [G, 16]
-        px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
+        px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id, cfg.view_tile_rows)
         alpha, *_ = _block_alpha(feats, px, py, cfg)
 
         # T_i = T_carry * prod_{j<i}(1 - alpha_j), in log space.
@@ -179,7 +187,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
     @pl.when(active)
     def _():
         feats = feat_ref[...].T  # [16, G] feature-major block -> [G, 16]
-        px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
+        px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id, cfg.view_tile_rows)
         alpha, du, dv, g, a_raw = _block_alpha(feats, px, py, cfg)
         ca = feats[:, 2:3]
         cb = feats[:, 3:4]

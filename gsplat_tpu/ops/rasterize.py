@@ -214,10 +214,15 @@ def rasterize_binned_xla(
     pair_feat = feat[jnp.clip(s_idx, 0, feat.shape[0] - 1)]  # [cap, 9]
     pair_feat = jnp.where(s_idx[:, None] >= 0, pair_feat, 0.0)
 
-    # Tile origins for every tile (static).
+    # Tile origins for every tile (static). view_tile_rows (batched-view
+    # rendering) wraps tile rows per view — exact int32 math, see
+    # raster_pallas._pixel_grid.
     tids = jnp.arange(num_chunks * C, dtype=jnp.int32)
+    tys = tids // cfg.tiles_x
+    if cfg.view_tile_rows:
+        tys = tys % cfg.view_tile_rows
     ox = (tids % cfg.tiles_x * T).astype(dtype)
-    oy = (tids // cfg.tiles_x * T).astype(dtype)
+    oy = (tys * T).astype(dtype)
     starts_all = jnp.concatenate(
         [
             binning.tile_start,
@@ -389,9 +394,10 @@ def rasterize_binned_seg(
     # segments on. Tile ids are exact small integers in f32; stop_gradient
     # keeps them out of the autodiff graph.
     ox = ((binning.pair_tile % cfg.tiles_x) * T).astype(jnp.float32)
-    oy = (
-        jnp.minimum(binning.pair_tile // cfg.tiles_x, cfg.tiles_y) * T
-    ).astype(jnp.float32)
+    _ty = jnp.minimum(binning.pair_tile // cfg.tiles_x, cfg.tiles_y)
+    if cfg.view_tile_rows:
+        _ty = _ty % cfg.view_tile_rows
+    oy = (_ty * T).astype(jnp.float32)
     tile_row = jax.lax.stop_gradient(
         binning.pair_tile.astype(jnp.float32)
     )[None, :]

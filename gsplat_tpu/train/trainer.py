@@ -37,7 +37,7 @@ from ..models.adc import (
 )
 from ..models.gaussians import GaussianPool
 from ..ops.losses import compute_loss
-from ..render import render_from_params
+from ..render import render_batch_from_params, render_from_params
 
 
 def position_lr(step, cfg: TrainConfig):
@@ -139,7 +139,33 @@ def batch_loss_fn(
     uv_taps: optional [B, N, 2] zeros (paper-ADC view-space gradient tap).
     Returns (loss, metrics dict) — metrics gain per-gaussian 'visible' and
     'max_radius' arrays when uv_taps is given.
+
+    With train_cfg.batched_render the whole batch goes through ONE shared
+    binning sort + kernel launch (render_batch_from_params); per-view means
+    of L1/SSIM equal the batch means, so the loss is identical to the scan
+    path up to float reduction order.
     """
+    if train_cfg.batched_render:
+        imgs, aux = render_batch_from_params(
+            params, batch["c2w"], batch["fx"], batch["fy"], batch["cx"],
+            batch["cy"], render_cfg, alive=alive, uv_taps=uv_taps,
+        )
+        total, comps = compute_loss(
+            imgs, batch["image"], train_cfg.lambda_l1, train_cfg.lambda_ssim
+        )
+        metrics = {
+            "l1": comps["l1"],
+            "ssim": comps["ssim"],
+            # Whole-batch pair demand vs the SHARED B * max_pairs capacity
+            # (fit()'s auto-capacity growth acts on the ratio).
+            "pair_demand": aux.num_pairs,
+            "pair_capacity": jnp.int32(aux.pair_capacity),
+        }
+        if uv_taps is not None:
+            radii = jax.lax.stop_gradient(aux.screen_radius)  # [B, N]
+            metrics["visible"] = jnp.sum((radii > 0).astype(jnp.int32), axis=0)
+            metrics["max_radius"] = jnp.max(radii, axis=0)
+        return total, metrics
 
     def view_loss(carry, xs):
         view, tap = xs
@@ -156,22 +182,31 @@ def batch_loss_fn(
         else:
             radius = jax.lax.stop_gradient(aux.screen_radius)
             extra = (radius,)
-        return carry, (total, comps["l1"], comps["ssim"]) + extra
+        return carry, (total, comps["l1"], comps["ssim"],
+                       aux.num_pairs) + extra
 
     # NOTE: no jax.checkpoint here — the Pallas rasterizer's custom VJP
     # keeps only O(pixels) residuals and the XLA fallback checkpoints per
     # tile chunk internally; an outer remat would re-run the whole forward
     # in backward (+30% step time measured) for no memory benefit.
     xs = (batch, uv_taps)
+    cap = jnp.int32(render_cfg.max_pairs)
     if uv_taps is None:
         b = batch["c2w"].shape[0]
         xs = (batch, jnp.zeros((b,), jnp.float32))  # dummy scan operand
-        _, (totals, l1s, ssims) = jax.lax.scan(view_loss, 0.0, xs)
-        return jnp.mean(totals), {"l1": jnp.mean(l1s), "ssim": jnp.mean(ssims)}
-    _, (totals, l1s, ssims, radii) = jax.lax.scan(view_loss, 0.0, xs)
+        _, (totals, l1s, ssims, pairs) = jax.lax.scan(view_loss, 0.0, xs)
+        return jnp.mean(totals), {
+            "l1": jnp.mean(l1s),
+            "ssim": jnp.mean(ssims),
+            "pair_demand": jnp.max(pairs),
+            "pair_capacity": cap,
+        }
+    _, (totals, l1s, ssims, pairs, radii) = jax.lax.scan(view_loss, 0.0, xs)
     return jnp.mean(totals), {
         "l1": jnp.mean(l1s),
         "ssim": jnp.mean(ssims),
+        "pair_demand": jnp.max(pairs),
+        "pair_capacity": cap,
         "visible": jnp.sum((radii > 0).astype(jnp.int32), axis=0),  # [N]
         "max_radius": jnp.max(radii, axis=0),  # [N]
     }
@@ -263,6 +298,46 @@ def reset_opt_state_slots(opt_state, slot_mask: jnp.ndarray):
         return leaf
 
     return jax.tree.map(reset, opt_state)
+
+
+def grow_state_capacity(state: TrainState, new_capacity: int) -> TrainState:
+    """Grow the pool (and optimizer state) to a larger slot capacity.
+
+    New slots follow the dead-slot conventions of `init_pool_from_points`
+    (zeros everywhere, opacity_raw = -10 so a mask bug still culls them);
+    every optimizer leaf whose leading dim equals the old capacity gets
+    zero rows appended (exactly the fresh-Adam state the ADC's moment
+    reset would give them). Downstream jitted steps recompile on the new
+    shapes automatically — fit() calls this when the ADC reports dropped
+    spawns, so capacity never needs hand-tuning (the reference requires
+    picking it up front; its trainer grows tensors freely but rebuilds the
+    whole optimizer, scripts/train.py:559-567).
+    """
+    cap = state.pool.capacity
+    if new_capacity <= cap:
+        return state
+    pad = new_capacity - cap
+
+    def grow(x, fill=0.0):
+        rows = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, rows], axis=0)
+
+    params = {
+        k: grow(v, -10.0 if k == "opacity_raw" else 0.0)
+        for k, v in state.pool.params.items()
+    }
+    alive = grow(state.pool.alive, False)
+
+    def grow_opt(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == cap:
+            return grow(leaf)
+        return leaf
+
+    return TrainState(
+        pool=GaussianPool(params=params, alive=alive),
+        opt_state=jax.tree.map(grow_opt, state.opt_state),
+        step=state.step,
+    )
 
 
 @jax.jit
