@@ -48,56 +48,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
+from .raster_pallas import (
+    FEAT_WIDTH,
+    _block_alpha as _sub_alpha,  # identical per-pair alpha math
+    _lower_tri,
+    _pixel_grid,
+    _tri_matmul,
+    _use_interpret,
+)
 
-FEAT_WIDTH = 16
 SUB = 128  # sub-block width: cumsum/MXU granularity
 
 
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 def _lower_tri_f32(k: int, strict: bool = False):
-    row = lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    col = lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    return ((row > col) if strict else (row >= col)).astype(jnp.float32)
+    return _lower_tri(k, strict, jnp.float32)
 
 
 def _seg_cumsum(Lseg, x):
     """Segmented inclusive cumsum along axis 0 of [SUB, P] via one MXU
     matmul with the masked lower-triangular matrix."""
-    return jax.lax.dot_general(
-        Lseg, x, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    return _tri_matmul(Lseg, x)
 
 
 def _local_pixel_grid(t: int, P: int):
-    """Tile-local pixel coordinates; order matches the reference
-    meshgrid(indexing='xy') flatten (render.py:325-340)."""
-    lane = lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = (lane % t).astype(jnp.float32)
-    py = (lane // t).astype(jnp.float32)
-    return px, py
-
-
-def _sub_alpha(f, px, py, cfg: RenderConfig):
-    """Alpha math for one sub-block; f [SUB, 16] with LOCAL u, v."""
-    u = f[:, 0:1]
-    v = f[:, 1:2]
-    ca = f[:, 2:3]
-    cb = f[:, 3:4]
-    cc = f[:, 4:5]
-    op = f[:, 5:6]
-    du = px - u  # [SUB, P]
-    dv = py - v
-    q = ca * du * du + 2.0 * cb * du * dv + cc * dv * dv
-    g = jnp.where(q <= cfg.chi2_clip, jnp.exp(-0.5 * q), 0.0)
-    a_raw = op * g
-    a_clamped = jnp.minimum(a_raw, cfg.alpha_max)
-    alpha = jnp.where(a_clamped >= cfg.alpha_cutoff, a_clamped, 0.0)
-    return alpha, du, dv, g, a_raw
+    """Tile-local pixel coordinates (= the aligned kernel's grid at the
+    origin tile of a single-column layout)."""
+    return _pixel_grid(t, P, tiles_x=1, tile_id=0)
 
 
 def _seg_fwd_kernel(feat_ref, out_ref, acc_ref, stage_ref, sem_ref,
@@ -255,7 +231,7 @@ def _seg_fwd_pallas(pair_feat, cfg: RenderConfig):
             pl.BlockSpec((FEAT_WIDTH, cfg.mega_block), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, 8, P), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((8, P), jnp.float32),  # acc
@@ -506,7 +482,7 @@ def _seg_bwd_pallas(pair_feat, block_tiles, block_ntiles, fwd_out, gout,
             pl.BlockSpec((FEAT_WIDTH, cfg.mega_block),
                          lambda b, bt, bn: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((FEAT_WIDTH, cfg.mega_block),
                                lambda b, bt, bn: (0, b),
