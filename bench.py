@@ -213,6 +213,68 @@ def bench_checkpoint(path, height, width, iters):
     }
 
 
+def bench_train_step(params, iters):
+    """Training-step cost at the reference's training resolution (960x540,
+    scale_factor 0.5 of 1080p sources — /root/reference/scripts/train.py),
+    batch 4, device-resident GT: the per-view sequential scan vs the
+    batched-view shared-binning path (TrainConfig.batched_render — one sort
+    + one kernel launch for the whole batch). Reports ms/view for both."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig, TrainConfig, render_from_params
+    from gsplat_tpu.models import GaussianPool
+    from gsplat_tpu.train import init_train_state, make_train_step
+
+    B = 4
+    cfg = RenderConfig(height=540, width=960, max_pairs=2**20,
+                       max_per_tile=2048)
+    n = params["pos"].shape[0]
+    pool = GaussianPool(params=params, alive=jnp.ones((n,), bool))
+    fx = fy = jnp.float32(0.85 * 960)
+    cx, cy = jnp.float32(480.0), jnp.float32(270.0)
+    c2ws, gts = [], []
+    for i in range(B):
+        th = 0.05 * i
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0.1 * i, 0.0, -0.05 * i]
+        c2w[0, 0] = c2w[2, 2] = np.cos(th)
+        c2w[0, 2] = np.sin(th)
+        c2w[2, 0] = -np.sin(th)
+        c2ws.append(jnp.asarray(c2w))
+    c2w_b = jnp.stack(c2ws)
+    render = jax.jit(
+        lambda p, c: render_from_params(p, c, fx, fy, cx, cy, cfg)[0]
+    )
+    gt = jnp.stack([render(params, c2ws[i]) for i in range(B)])
+    batch = {
+        "c2w": c2w_b, "image": gt,
+        "fx": jnp.full((B,), fx), "fy": jnp.full((B,), fy),
+        "cx": jnp.full((B,), cx), "cy": jnp.full((B,), cy),
+    }
+    out = {}
+    for label, batched in (("scan", False), ("batched", True)):
+        tcfg = TrainConfig(
+            capacity=n, batch_size=B, batched_render=batched,
+            densification_interval=10**9, opacity_reset_interval=10**9,
+        )
+        step = make_train_step(cfg, tcfg)
+        # The compiled step donates the state buffers — give each variant
+        # its own copy of the pool.
+        fresh = jax.tree.map(jnp.array, pool)
+        state = init_train_state(fresh, tcfg)
+        state, m = step(state, batch)  # compile
+        jax.block_until_ready(state.pool.params["pos"])
+        it = max(iters // 4, 3)
+        t0 = time.perf_counter()
+        for _ in range(it):
+            state, m = step(state, batch)
+        jax.block_until_ready(state.pool.params["pos"])
+        ms_view = (time.perf_counter() - t0) / it / B * 1e3
+        out[f"train_step_ms_per_view_{label}"] = round(ms_view, 2)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=1080)
@@ -223,6 +285,9 @@ def main():
                    help="skip the fwd+bwd benchmark")
     p.add_argument("--no-parity", dest="parity", action="store_false",
                    help="skip the gradient parity check vs the reference")
+    p.add_argument("--no-train-bench", dest="train_bench",
+                   action="store_false",
+                   help="skip the train-step (scan vs batched) benchmark")
     p.add_argument("--checkpoint", default=None,
                    help="trained .npz checkpoint to benchmark "
                         f"(default: {DEFAULT_CKPT} when present)")
@@ -313,6 +378,9 @@ def main():
             bench_checkpoint(ckpt, args.height, args.width, args.iters)
         )
 
+    if args.train_bench:
+        extras.update(bench_train_step(params, args.iters))
+
     if args.parity:
         err = grad_parity_err()
         if isinstance(err, dict):
@@ -320,13 +388,21 @@ def main():
         elif err is not None:
             extras["pixel_grad_max_abs_err"] = err
 
+    # Headline: the TRAINED-checkpoint distribution when the asset exists
+    # (the honest north-star workload — many dim/small splats, more pairs);
+    # the synthetic garden-scale scene otherwise. Both always reported.
+    extras["fps_synthetic_1080p"] = round(fps, 3)
+    if "fps_trained_ckpt" in extras:
+        metric, value = "render_fps_1080p_trained", extras["fps_trained_ckpt"]
+    else:
+        metric, value = "render_fps_1080p", round(fps, 3)
     print(
         json.dumps(
             {
-                "metric": "render_fps_1080p",
-                "value": round(fps, 3),
+                "metric": metric,
+                "value": value,
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 1.0, 3),
+                "vs_baseline": round(value / 1.0, 3),
                 **extras,
             }
         )
