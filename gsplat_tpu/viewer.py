@@ -95,17 +95,61 @@ def render_trajectory(
     trajectory: np.ndarray,
     benchmark: bool = True,
     warmup: int = 1,
+    batch_size: int = 1,
 ):
     """Render every pose; returns (frames uint8 list, stats dict).
 
     `render_fn(c2w) -> [H, W, 3] float image` should be a jitted closure.
     Timing synchronizes on device completion per frame like the reference's
     cuda.synchronize loop (:319-358).
+
+    batch_size > 1: `render_fn([B, 4, 4]) -> [B, H, W, 3]` (see
+    make_batch_render_fn) renders B poses per launch through the shared
+    binning sort + single kernel launch; per-frame times are the per-batch
+    wall time divided by B. The last chunk is padded by repeating the final
+    pose (padded frames dropped).
     """
     import jax
 
     frames = []
     times = []
+    if batch_size > 1:
+        B = batch_size
+        n = len(trajectory)
+        warm = np.broadcast_to(
+            np.asarray(trajectory[0]), (B, 4, 4)
+        ).copy()
+        for _ in range(min(warmup, 1)):
+            out = render_fn(warm)
+            jax.block_until_ready(out)
+        for s in range(0, n, B):
+            chunk = np.asarray(trajectory[s : s + B])
+            real = chunk.shape[0]
+            if real < B:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], B - real, axis=0)]
+                )
+            t0 = time.perf_counter()
+            imgs = render_fn(chunk)
+            jax.block_until_ready(imgs)
+            dt = (time.perf_counter() - t0) / B
+            times.extend([dt] * real)
+            arr = np.clip(np.asarray(imgs[:real]), 0, 1)
+            frames.extend(
+                (f * 255.0 + 0.5).astype(np.uint8) for f in arr
+            )
+        times_ms = np.asarray(times) * 1e3
+        stats = {
+            "frames": len(frames),
+            "batch_size": B,
+            "mean_ms": float(times_ms.mean()),
+            "median_ms": float(np.median(times_ms)),
+            "min_ms": float(times_ms.min()),
+            "max_ms": float(times_ms.max()),
+            "std_ms": float(times_ms.std()),
+            "fps": float(1e3 / times_ms.mean()),
+        } if benchmark and times else {}
+        return frames, stats
     for i in range(min(warmup, len(trajectory))):
         out = render_fn(np.asarray(trajectory[i]))
         jax.block_until_ready(out)
@@ -189,6 +233,30 @@ def make_render_fn(params: dict, cfg: RenderConfig, fx, fy, cx, cy,
         if with_depth:
             return img, aux.depth, aux.alpha
         return img
+
+    return fn
+
+
+def make_batch_render_fn(params: dict, cfg: RenderConfig, fx, fy, cx, cy,
+                         alive=None, batch: int = 4):
+    """Jitted [B, 4, 4] -> [B, H, W, 3] closure over fixed intrinsics.
+
+    Uses render_batch_from_params: one shared binning sort + one kernel
+    launch for all B poses (amortizes the per-launch fixed costs that
+    dominate small/medium frames). Results are identical to per-pose
+    rendering to the last ulp.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .render import render_batch_from_params
+
+    @jax.jit
+    def fn(c2w_b):
+        imgs, _ = render_batch_from_params(
+            params, jnp.asarray(c2w_b), fx, fy, cx, cy, cfg, alive=alive
+        )
+        return imgs
 
     return fn
 

@@ -102,6 +102,9 @@ def main():
                         "viewers (approximate for view-dependent color)")
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
+    p.add_argument("--render_batch", type=int, default=1,
+                   help="poses rendered per launch via the shared-binning "
+                        "batched path (1 = per-pose rendering)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -177,7 +180,18 @@ def main():
         elevation_deg=args.elevation,
     )
 
-    frames, stats = render_trajectory(render_fn, traj)
+    if args.render_batch > 1:
+        from gsplat_tpu.viewer import make_batch_render_fn
+
+        batch_fn = make_batch_render_fn(
+            params, cfg, fx, fy, cx, cy, alive=alive,
+            batch=args.render_batch,
+        )
+        frames, stats = render_trajectory(
+            batch_fn, traj, batch_size=args.render_batch
+        )
+    else:
+        frames, stats = render_trajectory(render_fn, traj)
     print(
         f"FPS: {stats['fps']:.2f}  (mean {stats['mean_ms']:.2f} ms, "
         f"median {stats['median_ms']:.2f}, min {stats['min_ms']:.2f}, "

@@ -144,3 +144,60 @@ def test_camera_utils_vs_reference(ref, torch, rng):
         .astype(bool)
     )
     np.testing.assert_array_equal(mask_ours, mask_ref)
+
+
+def test_batched_trajectory_matches_per_pose():
+    """make_batch_render_fn + render_trajectory(batch_size=B) must produce
+    the same uint8 frames as per-pose rendering, including a padded last
+    chunk (5 frames, B=2)."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig
+    from gsplat_tpu.viewer import (
+        make_batch_render_fn,
+        make_render_fn,
+        render_trajectory,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 64
+    params = {
+        "pos": jnp.asarray(
+            np.stack(
+                [
+                    rng.uniform(-1, 1, n),
+                    rng.uniform(-1, 1, n),
+                    rng.uniform(2, 5, n),
+                ],
+                axis=-1,
+            ),
+            jnp.float32,
+        ),
+        "scale_raw": jnp.asarray(rng.normal(0, 0.3, (n, 3)) - 1.8, jnp.float32),
+        "q_raw": jnp.asarray(
+            rng.normal(0, 1, (n, 4)) + np.array([0, 0, 0, 2.0]), jnp.float32
+        ),
+        "opacity_raw": jnp.asarray(rng.normal(0.5, 1, n), jnp.float32),
+        "f_dc": jnp.asarray(rng.normal(0, 0.8, (n, 3)), jnp.float32),
+        "f_rest": jnp.asarray(rng.normal(0, 0.05, (n, 45)), jnp.float32),
+    }
+    cfg = RenderConfig(
+        height=48, width=64, max_pairs=2048, max_per_tile=128,
+        backend="xla",
+    )
+    fx = fy = 50.0
+    cx, cy = 32.0, 24.0
+    traj = create_orbit_trajectory(
+        np.array([0.0, 0.0, 3.5]), radius=3.5, num_frames=5
+    )
+    single = make_render_fn(params, cfg, fx, fy, cx, cy)
+    batched = make_batch_render_fn(params, cfg, fx, fy, cx, cy, batch=2)
+    f1, _ = render_trajectory(single, traj, benchmark=False)
+    f2, stats = render_trajectory(
+        batched, traj, benchmark=True, batch_size=2
+    )
+    assert len(f1) == len(f2) == 5
+    assert stats["frames"] == 5 and stats["batch_size"] == 2
+    for i, (a, b) in enumerate(zip(f1, f2)):
+        # uint8 quantization absorbs the <=1-ulp float difference.
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
