@@ -99,6 +99,34 @@ def make_sharded_train_step(
         n = alive.shape[0]
         b_local = batch["c2w"].shape[0]
 
+        def loss_fn_batched(p, taps):
+            # Batched-view shared binning WITHIN the band: all local views'
+            # bands render through ONE sort + ONE kernel launch
+            # (render.py::render_batch_from_params), then bands all_gather
+            # along the row axis exactly like the scan path.
+            from ..render import render_batch_from_params
+
+            b = jax.lax.axis_index(TILE_AXIS)
+            cy_local = batch["cy"] - (b * band_px).astype(jnp.float32)
+            bands, aux = render_batch_from_params(
+                p, batch["c2w"], batch["fx"], batch["fy"], batch["cx"],
+                cy_local, band_cfg, alive=alive,
+                uv_taps=None if not paper else taps,
+            )  # [B_local, band_px, W, 3]
+            full = jax.lax.all_gather(
+                bands, TILE_AXIS, axis=1, tiled=True
+            )[:, : render_cfg.height]
+            total, comps = compute_loss(
+                full, batch["image"], train_cfg.lambda_l1,
+                train_cfg.lambda_ssim,
+            )
+            radii = (
+                jax.lax.stop_gradient(aux.screen_radius) if paper else None
+            )
+            # aux.num_pairs counts the WHOLE local batch (capacity is
+            # b_local * band_cfg.max_pairs, reported by step_fn).
+            return total, (comps["l1"], comps["ssim"], aux.num_pairs, radii)
+
         def loss_fn(p, taps):
             def view_loss(carry, xs):
                 view, tap = xs
@@ -125,6 +153,9 @@ def make_sharded_train_step(
             return jnp.mean(totals), (
                 jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs), radii
             )
+
+        if train_cfg.batched_render:
+            loss_fn = loss_fn_batched
 
         taps = jnp.zeros((b_local, n, 2), jnp.float32)
         if paper:
@@ -203,10 +234,16 @@ def make_sharded_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.pool.params)
         params = optax.apply_updates(state.pool.params, updates)
+        # Batched render shares ONE pair capacity across the device's local
+        # views, so the reported capacity scales with the local batch.
+        local_b = batch["c2w"].shape[0] // mesh.shape[DATA_AXIS]
+        cap = band_cfg.max_pairs * (
+            local_b if train_cfg.batched_render else 1
+        )
         metrics = {"total": loss, "l1": l1, "ssim": ssim,
                    "pos_grad": grads["pos"],
                    "max_band_pairs": band_pairs,
-                   "band_pair_capacity": jnp.int32(band_cfg.max_pairs)}
+                   "band_pair_capacity": jnp.int32(cap)}
         if paper:
             metrics["uv_grad_sum"], metrics["visible"], \
                 metrics["max_radius"] = paper_stats
@@ -254,6 +291,13 @@ def make_gauss_sharded_train_step(
     from ..ops.rasterize import rasterize_binned
     from ..ops.sh import evaluate_sh
 
+    if train_cfg.batched_render:
+        raise ValueError(
+            "batched_render is not implemented for the gauss-sharded step "
+            "(its per-view projection exchange is fused with the render); "
+            "use the band-sharded step (gauss_sharded=False) or the "
+            "per-view scan (batched_render=False)"
+        )
     tx = make_optimizer(train_cfg)
     n_tile = mesh.shape[TILE_AXIS]
     band_cfg, band_px = band_config(render_cfg, n_tile)

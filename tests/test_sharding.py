@@ -472,3 +472,40 @@ def test_fit_paper_adc_sharded_matches_single_device():
     alive_b = np.asarray(state_single.pool.alive)
     agree = (alive_a == alive_b).mean()
     assert agree > 0.95, f"alive masks agree only {agree:.2%}"
+
+
+def test_batched_render_sharded_step_matches_scan_step():
+    """make_sharded_train_step with TrainConfig.batched_render (all local
+    views' bands through ONE sort + kernel launch per device) must match
+    the per-view scan variant on a data x tile mesh — loss and updated
+    params, plus paper-ADC statistics."""
+    pool = _pool()
+    batch = _batch(pool, b=4)
+    mesh = make_mesh(n_devices=8, data=2, tile=4)
+
+    tcfg_scan = TrainConfig(capacity=512, batch_size=4, adc_mode="paper")
+    tcfg_bat = TrainConfig(
+        capacity=512, batch_size=4, adc_mode="paper", batched_render=True
+    )
+    s1, m1 = make_sharded_train_step(CFG, tcfg_scan, mesh)(
+        init_train_state(_pool(), tcfg_scan), batch
+    )
+    s2, m2 = make_sharded_train_step(CFG, tcfg_bat, mesh)(
+        init_train_state(_pool(), tcfg_bat), batch
+    )
+    assert float(m1["total"]) == pytest.approx(float(m2["total"]), abs=1e-5)
+    for k in s1.pool.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.pool.params[k]), np.asarray(s2.pool.params[k]),
+            atol=2e-5, err_msg=f"param[{k}]",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(m1["visible"]), np.asarray(m2["visible"])
+    )
+    a, b2 = np.asarray(m1["uv_grad_sum"]), np.asarray(m2["uv_grad_sum"])
+    assert a.max() > 0
+    np.testing.assert_allclose(a, b2, atol=1e-6 + 1e-4 * np.abs(a).max())
+    # Shared capacity is reported scaled by the local batch (2 views/device).
+    assert int(m2["band_pair_capacity"]) == 2 * int(
+        m1["band_pair_capacity"]
+    )
