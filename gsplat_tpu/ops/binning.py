@@ -292,7 +292,16 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     block_tile = jnp.cumsum(bhist)[:num_blocks] - 1
     block_used = b0 < padded_start[num_tiles]
     block_tile = jnp.clip(block_tile, 0, num_tiles - 1)
-    block_first = (b0 == padded_start[block_tile]) & block_used
+    # block_first: 1 = first block of a tile, 0 = continuation, -1 = DEAD
+    # (trailing static-capacity headroom beyond the actual pair demand —
+    # ~25% of the grid at the bench scale). Dead blocks carry all-zero
+    # features, so they used to recompute no-op alpha math against the last
+    # tile every step; the kernels now skip them outright on the flag.
+    block_first = jnp.where(
+        block_used,
+        (b0 == padded_start[block_tile]).astype(jnp.int32),
+        -1,
+    )
 
     return TileBinning(
         pair_slot=pair_slot,

@@ -105,9 +105,11 @@ def _mega_fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
             acc_ref[0:4, :] = jnp.zeros((4, P), jnp.float32)
             acc_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
 
-        # Saturation early-exit at the original per-128-block granularity.
+        # Saturation early-exit at the original per-128-block granularity;
+        # first == -1 marks DEAD capacity-headroom blocks (skip outright).
         active = (first == 1) | (
-            jnp.max(acc_ref[4:5, :]) > cfg.transmittance_min
+            (first == 0)
+            & (jnp.max(acc_ref[4:5, :]) > cfg.transmittance_min)
         )
 
         @pl.when(active & (state_ref[0] >= 0))
@@ -153,7 +155,7 @@ def _mega_fwd_pallas(pair_feat, block_tile, block_first, cfg: RenderConfig):
             [block_tile, jnp.full((pad_blocks,), 0, jnp.int32)]
         )
         block_first = jnp.concatenate(
-            [block_first, jnp.zeros((pad_blocks,), jnp.int32)]
+            [block_first, jnp.full((pad_blocks,), -1, jnp.int32)]
         )
         pair_feat = jnp.concatenate(
             [
@@ -247,7 +249,8 @@ def _mega_bwd_kernel(block_tile_ref, block_first_ref, feat_ref, gf_ref,
             cur_slab_ref[...] = cache_ref[buf, s]
 
         active = ((first == 1) | (
-            jnp.max(carry_ref[4:5, :]) > cfg.transmittance_min
+            (first == 0)
+            & (jnp.max(carry_ref[4:5, :]) > cfg.transmittance_min)
         )) & (state_ref[0] >= 0)
 
         @pl.when(active)
@@ -342,7 +345,7 @@ def _mega_bwd_pallas(pair_feat, block_tile, block_first, fwd_out, gout,
             [block_tile, jnp.full((pad_blocks,), 0, jnp.int32)]
         )
         block_first = jnp.concatenate(
-            [block_first, jnp.zeros((pad_blocks,), jnp.int32)]
+            [block_first, jnp.full((pad_blocks,), -1, jnp.int32)]
         )
         pair_feat = jnp.concatenate(
             [

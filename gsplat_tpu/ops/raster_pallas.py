@@ -141,8 +141,13 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
         garbage_free, jnp.zeros((4, P), jnp.float32), out_ref[0, 0:4, :]
     )
 
-    # Skip saturated tiles (every pixel's transmittance below threshold).
-    @pl.when((first == 1) | (jnp.max(T_in) > cfg.transmittance_min))
+    # Skip saturated tiles (every pixel's transmittance below threshold)
+    # and DEAD blocks (first == -1: static-capacity headroom past the
+    # actual pair demand — all-zero features, nothing to composite).
+    @pl.when(
+        (first == 1)
+        | ((first == 0) & (jnp.max(T_in) > cfg.transmittance_min))
+    )
     def _():
         feats = feat_ref[...].T  # [16, G] feature-major block -> [G, 16]
         px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id, cfg.view_tile_rows)
@@ -182,7 +187,9 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
         first == 1, jnp.zeros((4, P), jnp.float32), carry_ref[0:4, :]
     )
 
-    active = (first == 1) | (jnp.max(T_in) > cfg.transmittance_min)
+    active = (first == 1) | (
+        (first == 0) & (jnp.max(T_in) > cfg.transmittance_min)
+    )
 
     @pl.when(active)
     def _():
