@@ -276,6 +276,10 @@ def bench_train_step(params, iters):
 
 
 def main():
+
+    from gsplat_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # big Pallas graphs; recompiles -> disk loads
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)

@@ -264,6 +264,14 @@ def fit(
                         f"capacity {cap_pairs}; raise "
                         f"RenderConfig.max_pairs"
                     )
+            ring_ovf = int(metrics.get("ring_overflow", 0))
+            if ring_ovf > 0:
+                report.overflow_events += 1
+                log_fn(
+                    f"iter {it}: ring-stream overflow — a band needed "
+                    f"{ring_ovf} more gaussian slots than ring_capacity; "
+                    f"raise it (splats dropped are reported, never silent)"
+                )
             log_fn(
                 f"iter {it:6d}  loss {loss:.5f}  l1 {float(metrics['l1']):.5f}"
                 f"  ssim {float(metrics['ssim']):.5f}  gaussians {n_alive}"

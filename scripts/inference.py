@@ -32,6 +32,10 @@ def load_trajectory(path: str) -> np.ndarray:
 
 
 def main():
+
+    from gsplat_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # big Pallas graphs; recompiles -> disk loads
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--trajectory", required=True,

@@ -76,6 +76,10 @@ def apply_resolution_override(H, W, fx, fy, cx, cy, height=None, width=None):
 
 
 def main():
+
+    from gsplat_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # big Pallas graphs; recompiles -> disk loads
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True,
                    help=".npz checkpoint file or output dir")

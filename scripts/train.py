@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+
+    from gsplat_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # big Pallas graphs; recompiles -> disk loads
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_dir", required=True, help="prepared dataset dir")
     p.add_argument("--output_dir", default="output")

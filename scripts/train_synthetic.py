@@ -50,6 +50,10 @@ def make_gt_scene(n, seed=0, n_clusters=24, scale_mean=-2.6):
 
 
 def main():
+
+    from gsplat_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # big Pallas graphs; recompiles -> disk loads
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=384)

@@ -201,3 +201,20 @@ def test_batched_trajectory_matches_per_pose():
     for i, (a, b) in enumerate(zip(f1, f2)):
         # uint8 quantization absorbs the <=1-ulp float difference.
         np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+
+
+def test_enable_compilation_cache(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.utils import enable_compilation_cache
+
+    d = enable_compilation_cache(str(tmp_path / "xla"), min_compile_time_secs=0.0)
+    assert d is not None and os.path.isdir(d)
+    jax.jit(lambda x: x * 2 + 1)(jnp.arange(8.0)).block_until_ready()
+    # GSPLAT_NO_CACHE disables without error.
+    os.environ["GSPLAT_NO_CACHE"] = "1"
+    try:
+        assert enable_compilation_cache() is None
+    finally:
+        del os.environ["GSPLAT_NO_CACHE"]
