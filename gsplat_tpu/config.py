@@ -174,6 +174,12 @@ class TrainConfig:
     # SH bands for view-dependent color (f_rest width 0/9/9/45), matching
     # reference data_loader.py:353-358.
     num_sh_bands: int = 3
+    # SH-degree warmup (the original paper's oneupSHdegree schedule: band b
+    # activates at iteration b * interval, so early training fits geometry
+    # with diffuse color before view-dependence). 0 = off — the reference
+    # trains all bands from iteration 0. Implemented as a step-dependent
+    # coefficient mask, so no recompile per degree.
+    sh_warmup_interval: int = 0
     # Skip parameter/optimizer updates whose gradients are non-finite (a
     # poisoned batch or numeric blow-up then costs one step instead of the
     # whole run); skipped steps are counted in metrics['nonfinite_skipped'].

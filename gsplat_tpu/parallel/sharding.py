@@ -39,7 +39,9 @@ from ..train.trainer import (
     TrainState,
     _clip_pos_grad,
     _guard_nonfinite,
+    apply_sh_warmup,
     make_optimizer,
+    sh_warmup_mask,
 )
 from .mesh import DATA_AXIS, TILE_AXIS
 
@@ -222,8 +224,14 @@ def make_sharded_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch: dict):
-        outs = sharded(state.pool.params, state.pool.alive, batch)
+        # SH warmup: mask f_rest before the sharded loss; the returned
+        # grads are w.r.t. the masked input, so chain the mask back on.
+        params_in = apply_sh_warmup(state.pool.params, state.step, train_cfg)
+        outs = sharded(params_in, state.pool.alive, batch)
         grads, loss, l1, ssim, band_pairs = outs[:5]
+        _m = sh_warmup_mask(state.step, train_cfg)
+        if _m is not None:
+            grads = {**grads, "f_rest": grads["f_rest"] * _m}
         paper_stats = outs[5] if paper else None
         grads = _clip_pos_grad(grads, train_cfg.grad_clip_pos)
         grads = jax.tree.map(
@@ -523,8 +531,14 @@ def make_gauss_sharded_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch: dict):
-        outs = sharded(state.pool.params, state.pool.alive, batch)
+        # SH warmup: mask f_rest before the sharded loss; the returned
+        # grads are w.r.t. the masked input, so chain the mask back on.
+        params_in = apply_sh_warmup(state.pool.params, state.step, train_cfg)
+        outs = sharded(params_in, state.pool.alive, batch)
         grads, loss, l1, ssim, band_pairs, ring_ovf = outs[:6]
+        _m = sh_warmup_mask(state.step, train_cfg)
+        if _m is not None:
+            grads = {**grads, "f_rest": grads["f_rest"] * _m}
         paper_stats = outs[6] if paper else None
         grads = jax.tree.map(
             lambda g: jnp.where(

@@ -125,6 +125,36 @@ def _clip_pos_grad(grads: dict, max_norm: float) -> dict:
     return out
 
 
+def sh_warmup_mask(step, cfg: TrainConfig):
+    """[45] f32 coefficient mask for SH-degree warmup, or None when off.
+
+    Original-paper oneupSHdegree: active degree = min(step // interval, 3);
+    f_rest is laid out [15 R, 15 G, 15 B] with 3 deg-1, 5 deg-2, 7 deg-3
+    terms per channel (ops/sh.py). Disabled coefficients get zero gradients
+    through the mask multiply, so Adam leaves them untouched until their
+    band activates — same trajectory as not evaluating them at all.
+    """
+    if not cfg.sh_warmup_interval:
+        return None
+    deg = jnp.minimum(step // cfg.sh_warmup_interval, 3)
+    band = jnp.concatenate(
+        [
+            jnp.full((3,), 1, jnp.int32),
+            jnp.full((5,), 2, jnp.int32),
+            jnp.full((7,), 3, jnp.int32),
+        ]
+    )
+    return jnp.tile((band <= deg).astype(jnp.float32), 3)  # [45]
+
+
+def apply_sh_warmup(params: dict, step, cfg: TrainConfig) -> dict:
+    """Return params with f_rest masked by the warmup schedule (no-op off)."""
+    m = sh_warmup_mask(step, cfg)
+    if m is None:
+        return params
+    return {**params, "f_rest": params["f_rest"] * m}
+
+
 def batch_loss_fn(
     params: dict,
     alive: jnp.ndarray,
@@ -231,7 +261,8 @@ def make_train_step(render_cfg: RenderConfig, train_cfg: TrainConfig):
 
             def loss_fn(params, taps):
                 return batch_loss_fn(
-                    params, state.pool.alive, batch, render_cfg, train_cfg,
+                    apply_sh_warmup(params, state.step, train_cfg),
+                    state.pool.alive, batch, render_cfg, train_cfg,
                     uv_taps=taps,
                 )
 
@@ -246,7 +277,8 @@ def make_train_step(render_cfg: RenderConfig, train_cfg: TrainConfig):
         else:
             def loss_fn(params):
                 loss, metrics = batch_loss_fn(
-                    params, state.pool.alive, batch, render_cfg, train_cfg
+                    apply_sh_warmup(params, state.step, train_cfg),
+                    state.pool.alive, batch, render_cfg, train_cfg,
                 )
                 return loss, metrics
 

@@ -53,6 +53,13 @@ def main():
                    help="density control rules: the reference's world-space"
                         "-gradient variant, or the original paper's "
                         "view-space statistic with scene-extent rules")
+    p.add_argument("--sh_warmup_interval", type=int, default=0,
+                   help="activate SH band b at iteration b*interval "
+                        "(original-paper oneupSHdegree; 0 = all bands from "
+                        "iteration 0 like the reference)")
+    p.add_argument("--batched_render", action="store_true",
+                   help="render the whole view batch through one shared "
+                        "binning sort + kernel launch per step")
     p.add_argument("--densify_grad_threshold", type=float, default=0.0002,
                    help="paper-ADC view-space gradient threshold (px)")
     p.add_argument("--max_screen_size", type=int, default=0,
@@ -115,6 +122,8 @@ def main():
         adc_mode=args.adc_mode,
         densify_grad_threshold=args.densify_grad_threshold,
         max_screen_size=args.max_screen_size,
+        sh_warmup_interval=args.sh_warmup_interval,
+        batched_render=args.batched_render,
     )
 
     mesh = None

@@ -509,3 +509,29 @@ def test_batched_render_sharded_step_matches_scan_step():
     assert int(m2["band_pair_capacity"]) == 2 * int(
         m1["band_pair_capacity"]
     )
+
+
+def test_sh_warmup_sharded_matches_single_device():
+    """SH-warmup masking is applied OUTSIDE shard_map (mask params in,
+    chain the mask onto the returned grads) — must equal the single-device
+    step's autodiff-through-the-mask result."""
+    pool = _pool()
+    batch = _batch(pool, b=4)
+    tcfg = TrainConfig(capacity=512, batch_size=4, sh_warmup_interval=1000)
+
+    s1, m1 = make_train_step(CFG, tcfg)(init_train_state(_pool(), tcfg), batch)
+    mesh = make_mesh(n_devices=8, data=2, tile=4)
+    s2, m2 = make_sharded_train_step(CFG, tcfg, mesh)(
+        init_train_state(_pool(), tcfg), batch
+    )
+    assert float(m1["total"]) == pytest.approx(float(m2["total"]), abs=1e-5)
+    # f_rest frozen at step 0 in BOTH variants.
+    np.testing.assert_array_equal(
+        np.asarray(s2.pool.params["f_rest"]),
+        np.asarray(pool.params["f_rest"]),
+    )
+    for k in s1.pool.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.pool.params[k]), np.asarray(s2.pool.params[k]),
+            atol=2e-5, err_msg=f"param[{k}]",
+        )

@@ -367,3 +367,37 @@ def test_nan_guard_skips_poisoned_step():
     state, m = step(state, good)
     assert int(m["nonfinite_skipped"]) == 0
     assert not np.array_equal(np.asarray(state.pool.params["pos"]), pos0)
+
+
+def test_sh_warmup_mask_layout():
+    from gsplat_tpu.train.trainer import sh_warmup_mask
+
+    cfg = TrainConfig(capacity=64, sh_warmup_interval=100)
+    assert sh_warmup_mask(jnp.int32(0), TrainConfig(capacity=64)) is None
+    m0 = np.asarray(sh_warmup_mask(jnp.int32(0), cfg))
+    assert m0.shape == (45,) and m0.sum() == 0  # degree 0: all f_rest off
+    m1 = np.asarray(sh_warmup_mask(jnp.int32(100), cfg))
+    per_ch = m1.reshape(3, 15)
+    np.testing.assert_array_equal(per_ch[:, :3], 1.0)  # deg-1 terms on
+    np.testing.assert_array_equal(per_ch[:, 3:], 0.0)
+    m2 = np.asarray(sh_warmup_mask(jnp.int32(250), cfg))
+    np.testing.assert_array_equal(m2.reshape(3, 15)[:, :8], 1.0)  # deg 2
+    np.testing.assert_array_equal(m2.reshape(3, 15)[:, 8:], 0.0)
+    m3 = np.asarray(sh_warmup_mask(jnp.int32(10_000), cfg))
+    np.testing.assert_array_equal(m3, 1.0)  # capped at degree 3
+
+
+def test_sh_warmup_freezes_f_rest_until_activation():
+    """With warmup on, f_rest must not move at step 0 (all bands masked ->
+    zero grads -> zero Adam update) while f_dc trains; without warmup both
+    move."""
+    pool = _make_pool()
+    batch = _make_batch(pool)
+    cfg_w = TrainConfig(capacity=512, batch_size=2, sh_warmup_interval=1000)
+    s, _ = make_train_step(CFG, cfg_w)(init_train_state(_make_pool(), cfg_w), batch)
+    f_rest0 = np.asarray(pool.params["f_rest"])
+    np.testing.assert_array_equal(np.asarray(s.pool.params["f_rest"]), f_rest0)
+    assert np.abs(np.asarray(s.pool.params["f_dc"]) -
+                  np.asarray(pool.params["f_dc"])).max() > 0
+    s2, _ = make_train_step(CFG, TCFG)(init_train_state(_make_pool(), TCFG), batch)
+    assert np.abs(np.asarray(s2.pool.params["f_rest"]) - f_rest0).max() > 0
