@@ -27,33 +27,66 @@ def evaluate_views(
     views: list,
     cfg: RenderConfig,
     alive=None,
+    render_batch: int = 1,
 ) -> dict:
     """Render each view and compare to ground truth.
 
     Args:
         views: list of dicts with image [H, W, 3], c2w, fx, fy, cx, cy
             (GaussianDataset items work directly).
+        render_batch: views rendered per launch through the shared-binning
+            batched path (identical images to per-view rendering up to the
+            last ulp; the last chunk pads by repeating the final view).
 
     Returns:
         dict with per-view and mean psnr/ssim/l1.
     """
+    imgs = []
+    if render_batch > 1:
+        from .render import render_batch_from_params
 
-    @jax.jit
-    def render_one(c2w, fx, fy, cx, cy):
-        img, _ = render_from_params(
-            params, c2w, fx, fy, cx, cy, cfg, alive=alive
-        )
-        return img
+        @jax.jit
+        def render_chunk(c2w, fx, fy, cx, cy):
+            out, _ = render_batch_from_params(
+                params, c2w, fx, fy, cx, cy, cfg, alive=alive
+            )
+            return out
+
+        B = render_batch
+        for s in range(0, len(views), B):
+            chunk = views[s : s + B]
+            real = len(chunk)
+            chunk = chunk + [chunk[-1]] * (B - real)
+            field = lambda k: jnp.asarray(
+                np.stack([np.asarray(v[k], np.float32) for v in chunk])
+            )
+            out = render_chunk(
+                field("c2w"), field("fx"), field("fy"), field("cx"),
+                field("cy"),
+            )
+            imgs.extend(out[i] for i in range(real))
+    else:
+
+        @jax.jit
+        def render_one(c2w, fx, fy, cx, cy):
+            img, _ = render_from_params(
+                params, c2w, fx, fy, cx, cy, cfg, alive=alive
+            )
+            return img
+
+        for v in views:
+            imgs.append(
+                render_one(
+                    jnp.asarray(v["c2w"]),
+                    jnp.float32(v["fx"]),
+                    jnp.float32(v["fy"]),
+                    jnp.float32(v["cx"]),
+                    jnp.float32(v["cy"]),
+                )
+            )
 
     per_view = []
-    for v in views:
-        img = render_one(
-            jnp.asarray(v["c2w"]),
-            jnp.float32(v["fx"]),
-            jnp.float32(v["fy"]),
-            jnp.float32(v["cx"]),
-            jnp.float32(v["cy"]),
-        )
+    for v, img in zip(views, imgs):
         gt = jnp.asarray(v["image"])
         per_view.append(
             {

@@ -29,6 +29,9 @@ def main():
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
     p.add_argument("--json", action="store_true", help="print JSON only")
+    p.add_argument("--render_batch", type=int, default=1,
+                   help="views rendered per launch via the shared-binning "
+                        "batched path")
     args = p.parse_args()
 
     from render_trained import load_params, resolve_checkpoint
@@ -47,7 +50,9 @@ def main():
                        max_pairs=args.max_pairs, backend=args.backend)
     n = len(ds) if args.max_views is None else min(len(ds), args.max_views)
     views = [ds[i] for i in range(n)]
-    result = evaluate_views(params, views, cfg, alive=alive)
+    result = evaluate_views(
+        params, views, cfg, alive=alive, render_batch=args.render_batch
+    )
     if args.json:
         print(json.dumps(result))
     else:

@@ -218,3 +218,49 @@ def test_enable_compilation_cache(tmp_path):
         assert enable_compilation_cache() is None
     finally:
         del os.environ["GSPLAT_NO_CACHE"]
+
+
+def test_evaluate_views_render_batch_matches_per_view():
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig
+    from gsplat_tpu.evaluation import evaluate_views
+
+    rng = np.random.default_rng(5)
+    n = 48
+    params = {
+        "pos": jnp.asarray(
+            np.stack(
+                [
+                    rng.uniform(-1, 1, n),
+                    rng.uniform(-1, 1, n),
+                    rng.uniform(2, 5, n),
+                ],
+                axis=-1,
+            ),
+            jnp.float32,
+        ),
+        "scale_raw": jnp.asarray(rng.normal(0, 0.3, (n, 3)) - 1.8, jnp.float32),
+        "q_raw": jnp.asarray(
+            rng.normal(0, 1, (n, 4)) + np.array([0, 0, 0, 2.0]), jnp.float32
+        ),
+        "opacity_raw": jnp.asarray(rng.normal(0.5, 1, n), jnp.float32),
+        "f_dc": jnp.asarray(rng.normal(0, 0.8, (n, 3)), jnp.float32),
+        "f_rest": jnp.asarray(rng.normal(0, 0.05, (n, 45)), jnp.float32),
+    }
+    cfg = RenderConfig(height=32, width=48, max_pairs=1024, max_per_tile=64,
+                       backend="xla")
+    views = []
+    for i in range(3):  # 3 views, batch 2 -> padded last chunk
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = 0.2 * i - 0.2
+        views.append({
+            "image": rng.uniform(0, 1, (32, 48, 3)).astype(np.float32),
+            "c2w": c2w, "fx": 40.0, "fy": 40.0, "cx": 24.0, "cy": 16.0,
+        })
+    r1 = evaluate_views(params, views, cfg)
+    r2 = evaluate_views(params, views, cfg, render_batch=2)
+    assert r1["num_views"] == r2["num_views"] == 3
+    for a, b in zip(r1["per_view"], r2["per_view"]):
+        assert a["psnr"] == pytest.approx(b["psnr"], abs=1e-3)
+        assert a["l1"] == pytest.approx(b["l1"], abs=1e-6)
