@@ -299,12 +299,11 @@ def make_gauss_sharded_train_step(
     from ..ops.rasterize import rasterize_binned
     from ..ops.sh import evaluate_sh
 
-    if train_cfg.batched_render:
+    if train_cfg.batched_render and ring:
         raise ValueError(
-            "batched_render is not implemented for the gauss-sharded step "
-            "(its per-view projection exchange is fused with the render); "
-            "use the band-sharded step (gauss_sharded=False) or the "
-            "per-view scan (batched_render=False)"
+            "batched_render with ring-streamed gaussian exchange is not "
+            "implemented (the ring scan is per-view); use the all_gather "
+            "exchange (gauss_sharded=True) or batched_render=False"
         )
     tx = make_optimizer(train_cfg)
     n_tile = mesh.shape[TILE_AXIS]
@@ -436,6 +435,71 @@ def make_gauss_sharded_train_step(
         n_local = alive.shape[0]
         b_local = batch["c2w"].shape[0]
 
+        def loss_fn_batched(p, taps):
+            """All local views at once: ONE projection vmap, ONE [B, ...]
+            all_gather over 'tile' (bigger ICI messages than B per-view
+            gathers), ONE shared binning sort + kernel launch for the
+            stacked per-view bands (render.py::stack_view_projections)."""
+            from ..render import stack_view_projections
+
+            cov3d = build_cov3d_packed(p["scale_raw"], p["q_raw"])
+            colors_b = jax.vmap(
+                lambda c: evaluate_sh(p["f_dc"], p["f_rest"], p["pos"], c)
+            )(batch["c2w"])  # [B, n_local, 3]
+            if paper:
+                proj_b = jax.vmap(
+                    lambda c, f1, f2, u, v, tap: project_gaussians(
+                        p["pos"], cov3d, p["opacity_raw"], c, f1, f2, u, v,
+                        render_cfg, extra_valid=alive, uv_tap=tap,
+                    )
+                )(batch["c2w"], batch["fx"], batch["fy"], batch["cx"],
+                  batch["cy"], taps)
+            else:
+                proj_b = jax.vmap(
+                    lambda c, f1, f2, u, v: project_gaussians(
+                        p["pos"], cov3d, p["opacity_raw"], c, f1, f2, u, v,
+                        render_cfg, extra_valid=alive,
+                    )
+                )(batch["c2w"], batch["fx"], batch["fy"], batch["cx"],
+                  batch["cy"])
+            radii = jax.lax.stop_gradient(proj_b.radius)  # [B, n_local]
+            b = jax.lax.axis_index(TILE_AXIS)
+            row0 = (b * band_rows).astype(jnp.int32)
+            # Exchange the whole batch in one collective (transpose is a
+            # psum-scatter, so grads return shard-local exactly like the
+            # per-view path).
+            proj_full, colors_full = jax.tree.map(
+                lambda x: jax.lax.all_gather(
+                    x, TILE_AXIS, axis=1, tiled=True
+                ),
+                (proj_b, colors_b),
+            )
+            proj_band = jax.vmap(band_localize, in_axes=(0, None))(
+                proj_full, row0
+            )
+            stacked, bcfg = stack_view_projections(proj_band, band_cfg)
+            ng = proj_full.uv.shape[1]
+            binning = bin_gaussians(stacked, bcfg)
+            img, _ = rasterize_binned(
+                stacked, colors_full.reshape(b_local * ng, 3), binning, bcfg
+            )
+            bands = img.reshape(
+                b_local, band_cfg.padded_height, render_cfg.width, 3
+            )[:, :band_px]
+            full = jax.lax.all_gather(
+                bands, TILE_AXIS, axis=1, tiled=True
+            )[:, : render_cfg.height]
+            total, comps = compute_loss(
+                full, batch["image"], train_cfg.lambda_l1,
+                train_cfg.lambda_ssim,
+            )
+            # Whole-batch pair demand vs the b_local * band capacity
+            # (reported scaled by step_fn); no ring in the batched path.
+            return total, (
+                comps["l1"], comps["ssim"], binning.num_pairs,
+                jnp.int32(0), radii if paper else None,
+            )
+
         def loss_fn(p, taps):
             def view_loss(carry, xs):
                 view, tap = xs
@@ -463,6 +527,9 @@ def make_gauss_sharded_train_step(
                 jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs),
                 jnp.max(ring_ovfs), radii,
             )
+
+        if train_cfg.batched_render:
+            loss_fn = loss_fn_batched
 
         taps = jnp.zeros((b_local, n_local, 2), jnp.float32)
         if paper:
@@ -548,10 +615,14 @@ def make_gauss_sharded_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.pool.params)
         params = optax.apply_updates(state.pool.params, updates)
+        local_b = batch["c2w"].shape[0] // mesh.shape[DATA_AXIS]
+        cap = band_cfg.max_pairs * (
+            local_b if train_cfg.batched_render else 1
+        )
         metrics = {"total": loss, "l1": l1, "ssim": ssim,
                    "pos_grad": grads["pos"],
                    "max_band_pairs": band_pairs,
-                   "band_pair_capacity": jnp.int32(band_cfg.max_pairs),
+                   "band_pair_capacity": jnp.int32(cap),
                    "ring_overflow": ring_ovf}
         if paper:
             metrics["uv_grad_sum"], metrics["visible"], \

@@ -104,6 +104,41 @@ def render_from_params(
     return rasterize(proj, colors, cfg)
 
 
+def stack_view_projections(proj_b, cfg: RenderConfig):
+    """Stack per-view projections [B, N, ...] into one virtual scene.
+
+    View v lives in tile rows [v * tiles_y, (v+1) * tiles_y); uv stays
+    VIEW-LOCAL — the rasterizer wraps tile rows back to view-local pixel
+    rows via the returned config's `view_tile_rows` (exact int32; see
+    render_batch_from_params). Tile offsets preserve the invalid-slot
+    convention (tmax = tmin - 1). Returns (stacked [B*N] projections,
+    derived config with height = B * padded_height and the pair capacity
+    SHARED across the batch).
+    """
+    B, n = proj_b.uv.shape[:2]
+    voff_tile = (jnp.arange(B, dtype=jnp.int32) * cfg.tiles_y)[:, None]
+    tile_off = jnp.stack(
+        [jnp.zeros_like(voff_tile), jnp.broadcast_to(voff_tile, (B, 1))],
+        axis=-1,
+    )  # [B, 1, 2]
+    stacked = ProjectedGaussians(
+        uv=proj_b.uv.reshape(B * n, 2),
+        depth=proj_b.depth.reshape(B * n),
+        conic=proj_b.conic.reshape(B * n, 3),
+        opacity=proj_b.opacity.reshape(B * n),
+        radius=proj_b.radius.reshape(B * n),
+        tile_min=(proj_b.tile_min + tile_off).reshape(B * n, 2),
+        tile_max=(proj_b.tile_max + tile_off).reshape(B * n, 2),
+        valid=proj_b.valid.reshape(B * n),
+    )
+    bcfg = cfg.with_(
+        height=B * cfg.padded_height,
+        max_pairs=B * cfg.max_pairs,
+        view_tile_rows=cfg.tiles_y,
+    )
+    return stacked, bcfg
+
+
 def render_batch_from_params(
     params: dict,
     c2w: jnp.ndarray,
@@ -180,31 +215,7 @@ def render_batch_from_params(
             )
         )(c2w, fx, fy, cx, cy, uv_taps)
 
-    # Stack the batch into one virtual scene: view v lives in tile rows
-    # [v * tiles_y, (v+1) * tiles_y). uv is NOT offset — the rasterizer
-    # wraps tile rows to view-local pixel rows (view_tile_rows below).
-    voff_tile = (jnp.arange(B, dtype=jnp.int32) * cfg.tiles_y)[:, None]
-    uv = proj_b.uv.reshape(B * n, 2)
-    # tile offsets preserve the invalid-slot convention (tmax = tmin - 1).
-    tile_off = jnp.stack(
-        [jnp.zeros_like(voff_tile), jnp.broadcast_to(voff_tile, (B, 1))],
-        axis=-1,
-    )  # [B, 1, 2]
-    stacked = ProjectedGaussians(
-        uv=uv,
-        depth=proj_b.depth.reshape(B * n),
-        conic=proj_b.conic.reshape(B * n, 3),
-        opacity=proj_b.opacity.reshape(B * n),
-        radius=proj_b.radius.reshape(B * n),
-        tile_min=(proj_b.tile_min + tile_off).reshape(B * n, 2),
-        tile_max=(proj_b.tile_max + tile_off).reshape(B * n, 2),
-        valid=proj_b.valid.reshape(B * n),
-    )
-    bcfg = cfg.with_(
-        height=B * cfg.padded_height,
-        max_pairs=B * cfg.max_pairs,
-        view_tile_rows=cfg.tiles_y,
-    )
+    stacked, bcfg = stack_view_projections(proj_b, cfg)
     img, aux = rasterize(stacked, colors_b.reshape(B * n, 3), bcfg)
 
     # [B * padded_height, W, *] -> per-view crops.

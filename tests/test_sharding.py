@@ -535,3 +535,43 @@ def test_sh_warmup_sharded_matches_single_device():
             np.asarray(s1.pool.params[k]), np.asarray(s2.pool.params[k]),
             atol=2e-5, err_msg=f"param[{k}]",
         )
+
+
+def test_batched_render_gauss_sharded_matches_scan():
+    """Gauss-sharded step with batched_render (one projection vmap, one
+    [B,...] exchange collective, one shared binning/kernel launch) must
+    match the per-view scan variant, including paper-ADC statistics."""
+    from gsplat_tpu.parallel.sharding import (
+        make_gauss_sharded_train_step,
+        shard_train_state,
+    )
+
+    pool = _pool()
+    batch = _batch(pool, b=2)
+    mesh = make_mesh(n_devices=8, data=2, tile=4)
+
+    tcfg_scan = TrainConfig(capacity=512, batch_size=2, adc_mode="paper")
+    tcfg_bat = TrainConfig(
+        capacity=512, batch_size=2, adc_mode="paper", batched_render=True
+    )
+    s1, m1 = make_gauss_sharded_train_step(CFG, tcfg_scan, mesh)(
+        shard_train_state(init_train_state(_pool(), tcfg_scan), mesh), batch
+    )
+    s2, m2 = make_gauss_sharded_train_step(CFG, tcfg_bat, mesh)(
+        shard_train_state(init_train_state(_pool(), tcfg_bat), mesh), batch
+    )
+    assert float(m1["total"]) == pytest.approx(float(m2["total"]), abs=1e-5)
+    for k in s1.pool.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.pool.params[k]), np.asarray(s2.pool.params[k]),
+            atol=2e-5, err_msg=f"param[{k}]",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(m1["visible"]), np.asarray(m2["visible"])
+    )
+    a, b2 = np.asarray(m1["uv_grad_sum"]), np.asarray(m2["uv_grad_sum"])
+    assert a.max() > 0
+    np.testing.assert_allclose(a, b2, atol=1e-6 + 1e-4 * np.abs(a).max())
+    # ring + batched is explicitly unsupported.
+    with pytest.raises(ValueError, match="ring"):
+        make_gauss_sharded_train_step(CFG, tcfg_bat, mesh, ring=True)
