@@ -53,6 +53,9 @@ def main():
     p.add_argument("--max_pairs", type=int, default=2**21)
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
+    p.add_argument("--render_batch", type=int, default=1,
+                   help="poses rendered per launch via the shared-binning "
+                        "batched path")
     args = p.parse_args()
 
     from render_trained import load_params, resolve_checkpoint
@@ -81,12 +84,26 @@ def main():
 
     cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
                        backend=args.backend)
-    render_fn = make_render_fn(params, cfg, fx, fy, cx, cy, alive=alive)
-
     os.makedirs(args.output_dir, exist_ok=True)
-    for i, c2w in enumerate(traj):
-        img = np.asarray(render_fn(c2w))
-        save_image(os.path.join(args.output_dir, f"view_{i:05d}.png"), img)
+    if args.render_batch > 1:
+        from gsplat_tpu.viewer import make_batch_render_fn, render_trajectory
+
+        batch_fn = make_batch_render_fn(
+            params, cfg, fx, fy, cx, cy, alive=alive,
+            batch=args.render_batch,
+        )
+        frames, _ = render_trajectory(
+            batch_fn, traj, benchmark=False, batch_size=args.render_batch
+        )
+        for i, frame in enumerate(frames):
+            save_image(
+                os.path.join(args.output_dir, f"view_{i:05d}.png"), frame
+            )
+    else:
+        render_fn = make_render_fn(params, cfg, fx, fy, cx, cy, alive=alive)
+        for i, c2w in enumerate(traj):
+            img = np.asarray(render_fn(c2w))
+            save_image(os.path.join(args.output_dir, f"view_{i:05d}.png"), img)
     print(f"rendered {len(traj)} views to {args.output_dir}")
 
 
