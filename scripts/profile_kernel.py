@@ -85,6 +85,61 @@ def _kernel_no_transc(block_tile_ref, block_first_ref, feat_ref, out_ref,
         out_ref[0, 4:5, :] = T_in * (1.0 + jnp.sum(s, axis=0, keepdims=True))
 
 
+def _kernel_cumprod(block_tile_ref, block_first_ref, feat_ref, out_ref,
+                    *, cfg):
+    """EXACT candidate replacement (not an ablation): transmittance via a
+    two-level direct cumprod of (1 - alpha) — zero transcendentals, zero
+    MXU — instead of exp(cumsum(log1p(-alpha))). Same math as the torch
+    reference's shifted cumprod (render.py:379-383); f32 product error over
+    128 factors is comparable to the log-space path's exp/log rounding."""
+    b = pl.program_id(0)
+    t_id = block_tile_ref[b]
+    first = block_first_ref[b]
+    P = cfg.tile * cfg.tile
+    G = cfg.pair_block
+    T_in = jnp.where(first == 1, jnp.ones((1, P), jnp.float32),
+                     out_ref[0, 4:5, :])
+    rgb_in = jnp.where(first == 1, jnp.zeros((4, P), jnp.float32),
+                       out_ref[0, 0:4, :])
+
+    @pl.when((first == 1) | (jnp.max(T_in) > cfg.transmittance_min))
+    def _():
+        feats = feat_ref[...].T
+        px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
+        alpha, *_ = _block_alpha(feats, px, py, cfg)
+        m = 1.0 - alpha  # [G, P]
+        # Two-level exclusive cumprod: groups of 8 rows.
+        R = 8
+        K = G // R
+        mg = m.reshape(K, R, P)
+        # Within-group exclusive prefixes, built serially (7 multiplies).
+        parts = [jnp.ones((K, 1, P), jnp.float32)]
+        run = mg[:, 0:1, :]
+        for j in range(1, R):
+            parts.append(run)
+            run = run * mg[:, j : j + 1, :]
+        within = jnp.concatenate(parts, axis=1)  # [K, R, P] exclusive
+        gtot = run[:, 0, :]  # [K, P] full group products
+        # Exclusive prefix over the K groups (serial, K-1 multiplies).
+        gparts = [jnp.ones((1, P), jnp.float32)]
+        grun = gtot[0:1, :]
+        for k in range(1, K):
+            gparts.append(grun)
+            grun = grun * gtot[k : k + 1, :]
+        gpre = jnp.concatenate(gparts, axis=0)  # [K, P]
+        T_excl = (within * gpre[:, None, :]).reshape(G, P) * T_in
+        alive = T_excl > cfg.transmittance_min
+        w = jnp.where(alive, alpha * T_excl, 0.0)
+        chans = feats[:, 6:10]
+        contrib = jax.lax.dot_general(
+            chans, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[0, 0:4, :] = rgb_in + contrib
+        out_ref[0, 4:5, :] = T_in * grun  # grun = full 128-row product
+
+
 def _kernel_no_mxu(block_tile_ref, block_first_ref, feat_ref, out_ref,
                    *, cfg):
     b = pl.program_id(0)
@@ -172,6 +227,7 @@ def _kernel_empty(block_tile_ref, block_first_ref, feat_ref, out_ref, *, cfg):
 
 VARIANTS = {
     "full": _fwd_kernel,
+    "cumprod": _kernel_cumprod,
     "no-transc": _kernel_no_transc,
     "no-mxu": _kernel_no_mxu,
     "no-compute": _kernel_no_compute,
