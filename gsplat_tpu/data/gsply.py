@@ -109,6 +109,54 @@ def export_gaussians_ply(
     return n
 
 
+def export_gaussians_splat(
+    path: str,
+    params: dict,
+    alive: np.ndarray | None = None,
+) -> int:
+    """Write the pool as a ``.splat`` file (antimatter15 web-viewer format).
+
+    32 bytes per gaussian: position f32x3, LINEAR scale f32x3 (exp of the
+    log-scale), color RGBA u8 (our sigmoid transfer's view-independent
+    color + sigmoid opacity), rotation u8x4 ((w,x,y,z) normalized quat
+    mapped q*128+128). Gaussians are sorted by size x opacity descending,
+    matching the reference converter, so progressive loading shows the
+    big splats first. Returns the number written.
+    """
+    pos = np.asarray(params["pos"], np.float32)
+    f_dc = np.asarray(params["f_dc"], np.float32)
+    opacity = np.asarray(params["opacity_raw"], np.float32)
+    scale = np.asarray(params["scale_raw"], np.float32)
+    quat = np.asarray(params["q_raw"], np.float32)
+    if alive is not None:
+        keep = np.asarray(alive, bool)
+        pos, f_dc = pos[keep], f_dc[keep]
+        opacity, scale, quat = opacity[keep], scale[keep], quat[keep]
+    n = pos.shape[0]
+
+    lin_scale = np.exp(scale)
+    sig_op = 1.0 / (1.0 + np.exp(-opacity))
+    order = np.argsort(-(lin_scale.prod(axis=1) * sig_op))
+    pos, f_dc = pos[order], f_dc[order]
+    sig_op, lin_scale, quat = sig_op[order], lin_scale[order], quat[order]
+
+    rgb = 1.0 / (1.0 + np.exp(-f_dc * SH_C0))  # our sigmoid transfer
+    rgba = np.concatenate([rgb, sig_op[:, None]], axis=1)
+    rgba_u8 = np.clip(rgba * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    qn = quat / (np.linalg.norm(quat, axis=1, keepdims=True) + 1e-12)
+    rot_wxyz = np.concatenate([qn[:, 3:4], qn[:, 0:3]], axis=1)
+    rot_u8 = np.clip(rot_wxyz * 128.0 + 128.0, 0, 255).astype(np.uint8)
+
+    buf = np.zeros((n, 32), np.uint8)
+    buf[:, 0:12] = pos.astype("<f4").view(np.uint8).reshape(n, 12)
+    buf[:, 12:24] = lin_scale.astype("<f4").view(np.uint8).reshape(n, 12)
+    buf[:, 24:28] = rgba_u8
+    buf[:, 28:32] = rot_u8
+    with open(path, "wb") as f:
+        f.write(buf.tobytes())
+    return n
+
+
 def import_gaussians_ply(path: str) -> dict:
     """Read a standard 3DGS PLY into a core params dict (numpy arrays).
 

@@ -101,6 +101,9 @@ def main():
     p.add_argument("--export_ply", default=None,
                    help="also write the gaussians as a standard 3DGS PLY "
                         "(loadable by public splat viewers)")
+    p.add_argument("--export_splat", default=None,
+                   help="also write a .splat file (antimatter15 web-viewer "
+                        "format, 32 bytes/gaussian)")
     p.add_argument("--ply_external_colors", action="store_true",
                    help="remap the DC color term for INRIA-convention "
                         "viewers (approximate for view-dependent color)")
@@ -163,6 +166,16 @@ def main():
             convert_colors=args.ply_external_colors,
         )
         print(f"exported {n_written} gaussians to {args.export_ply}")
+
+    if args.export_splat:
+        from gsplat_tpu.data.gsply import export_gaussians_splat
+
+        n_written = export_gaussians_splat(
+            args.export_splat,
+            {k: np.asarray(v) for k, v in params.items()},
+            alive=None if alive is None else np.asarray(alive),
+        )
+        print(f"exported {n_written} gaussians to {args.export_splat}")
 
     if args.render_training_views and c2ws is not None:
         from gsplat_tpu.data.images import save_image

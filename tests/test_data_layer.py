@@ -474,3 +474,48 @@ def test_prefetched_batches_match_and_propagate_errors(tmp_path):
     assert next(it) == {"x": 1}
     with pytest.raises(RuntimeError, match="decode failed"):
         next(it)
+
+
+def test_splat_export_format(tmp_path):
+    """.splat export (antimatter15 web-viewer format): 32 bytes/gaussian,
+    f32 position + LINEAR scale, u8 RGBA (sigmoid transfer) and u8 quat
+    (w,x,y,z)*128+128, sorted by size x opacity descending."""
+    from gsplat_tpu.data.gsply import export_gaussians_splat
+
+    rng = np.random.default_rng(11)
+    n = 40
+    params = {
+        "pos": rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+        "scale_raw": (rng.normal(0, 0.2, (n, 3)) - 2.0).astype(np.float32),
+        "q_raw": (rng.normal(0, 1, (n, 4)) + [0, 0, 0, 2.0]).astype(
+            np.float32
+        ),
+        "opacity_raw": rng.normal(1.0, 0.5, n).astype(np.float32),
+        "f_dc": rng.normal(0, 0.8, (n, 3)).astype(np.float32),
+        "f_rest": rng.normal(0, 0.05, (n, 45)).astype(np.float32),
+    }
+    alive = np.ones(n, bool)
+    alive[::5] = False
+    path = str(tmp_path / "scene.splat")
+    written = export_gaussians_splat(path, params, alive=alive)
+    assert written == int(alive.sum())
+
+    raw = np.fromfile(path, np.uint8).reshape(written, 32)
+    pos = raw[:, 0:12].copy().view("<f4").reshape(written, 3)
+    scale = raw[:, 12:24].copy().view("<f4").reshape(written, 3)
+    rgba = raw[:, 24:28]
+    rot = raw[:, 28:32].astype(np.float32)
+
+    kept = params["pos"][alive]
+    # Every exported position is one of the alive inputs.
+    for p in pos:
+        assert np.min(np.linalg.norm(kept - p, axis=1)) < 1e-6
+    assert np.all(scale > 0)  # linear scales
+    # Sorted by size x opacity descending.
+    sig = rgba[:, 3].astype(np.float32) / 255.0
+    importance = scale.prod(axis=1) * sig
+    assert np.all(np.diff(importance) <= 1e-6 + importance[:-1] * 1e-3)
+    # Quats decode to ~unit norm.
+    q = (rot - 128.0) / 128.0
+    norms = np.linalg.norm(q, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=0.05)
