@@ -378,12 +378,18 @@ def main():
         DEFAULT_CKPT if os.path.exists(DEFAULT_CKPT) else None
     )
     if ckpt:
-        extras.update(
-            bench_checkpoint(ckpt, args.height, args.width, args.iters)
-        )
+        try:
+            extras.update(
+                bench_checkpoint(ckpt, args.height, args.width, args.iters)
+            )
+        except Exception as e:  # never break the bench line
+            extras["fps_trained_ckpt_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if args.train_bench:
-        extras.update(bench_train_step(params, args.iters))
+        try:
+            extras.update(bench_train_step(params, args.iters))
+        except Exception as e:  # never break the bench line
+            extras["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if args.parity:
         err = grad_parity_err()
