@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Train on a REAL photograph via the textured-plane warp oracle.
+
+The closest no-network stand-in for the reference's Mip-NeRF 360 use-case
+(/root/reference/scripts/train.py:222-604): ground-truth views are made by
+ray-plane homography warping of an actual photo (natural image statistics,
+sharp edges, high-frequency texture), NOT by any gaussian renderer — a
+non-circular end-to-end oracle for the whole optimization stack. Reports
+held-out PSNR/SSIM like scripts/evaluate.py.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+
+    from gsplat_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image", default="matplotlib",
+                   help="photo path ('matplotlib' = the bundled real photo)")
+    p.add_argument("--output_dir", default="output/photo_plane")
+    p.add_argument("--scene_dir", default=None,
+                   help="where to write the warped scene "
+                        "(default <output_dir>/scene)")
+    p.add_argument("--n_views", type=int, default=16)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--iterations", type=int, default=2000)
+    p.add_argument("--capacity", type=int, default=2**15)
+    p.add_argument("--max_pairs", type=int, default=2**19)
+    p.add_argument("--holdout_every", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--batched_render", action="store_true")
+    p.add_argument("--sh_warmup_interval", type=int, default=0)
+    p.add_argument("--adc_mode", default="reference",
+                   choices=("reference", "paper"))
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "pallas", "pallas_mega", "pallas_seg",
+                            "xla"))
+    p.add_argument("--json", action="store_true", help="print JSON only")
+    args = p.parse_args()
+
+    from gsplat_tpu import RenderConfig, TrainConfig
+    from gsplat_tpu.data import GaussianDataset
+    from gsplat_tpu.data.photo_plane import load_photo, make_photo_plane_scene
+    from gsplat_tpu.evaluation import evaluate_views
+    from gsplat_tpu.train.fit import fit
+
+    scene_dir = args.scene_dir or os.path.join(args.output_dir, "scene")
+    photo = load_photo(args.image)
+    meta = make_photo_plane_scene(
+        scene_dir, photo=photo, n_views=args.n_views,
+        height=args.height, width=args.width,
+    )
+    log = (lambda s: None) if args.json else print
+    log(f"scene: {meta['n_views']} warped views of a "
+        f"{photo.shape[1]}x{photo.shape[0]} photo -> {scene_dir}")
+
+    train_ds = GaussianDataset(
+        scene_dir, scale_factor=1.0,
+        holdout_every=args.holdout_every, split="train",
+    )
+    render_cfg = RenderConfig(
+        height=train_ds.height, width=train_ds.width,
+        max_pairs=args.max_pairs, backend=args.backend,
+    )
+    train_cfg = TrainConfig(
+        iterations=args.iterations,
+        batch_size=args.batch_size,
+        capacity=args.capacity,
+        position_lr_max_steps=args.iterations,
+        adc_mode=args.adc_mode,
+        batched_render=args.batched_render,
+        sh_warmup_interval=args.sh_warmup_interval,
+        checkpoint_interval=10**9,
+    )
+    t0 = time.time()
+    state, report = fit(
+        train_ds, render_cfg, train_cfg,
+        output_dir=args.output_dir, log_fn=log,
+    )
+    train_s = time.time() - t0
+
+    test_ds = GaussianDataset(
+        scene_dir, scale_factor=1.0,
+        holdout_every=args.holdout_every, split="test",
+    )
+    views = [test_ds[i] for i in range(len(test_ds))]
+    result = evaluate_views(
+        state.pool.params, views, render_cfg, alive=state.pool.alive
+    )
+    out = {
+        "metric": "photo_plane_holdout_psnr",
+        "psnr": round(result["psnr"], 3),
+        "ssim": round(result["ssim"], 4),
+        "holdout_views": result["num_views"],
+        "train_views": len(train_ds),
+        "iterations": args.iterations,
+        "gaussians": int(np.asarray(state.pool.alive).sum()),
+        "train_seconds": round(train_s, 1),
+        "final_loss": round(report.final_loss, 5),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -519,3 +519,45 @@ def test_splat_export_format(tmp_path):
     q = (rot - 128.0) / 128.0
     norms = np.linalg.norm(q, axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=0.05)
+
+
+def test_photo_plane_warp_geometry():
+    """warp_photo_view: ray-plane sampling hits the right texels (pure
+    numpy oracle for the real-photo training pipeline's GT generator)."""
+    from gsplat_tpu.data.photo_plane import warp_photo_view
+
+    # Distinctive synthetic "photo": coordinate gradient + a marker.
+    ht, wt = 64, 96
+    photo = np.zeros((ht, wt, 3), np.float32)
+    photo[..., 0] = np.linspace(0, 1, wt)[None, :]
+    photo[..., 1] = np.linspace(0, 1, ht)[:, None]
+    H, W, f = 50, 70, 80.0
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+
+    # Camera at origin looking down +z at the plane: center pixel must
+    # sample the photo center (gradient value 0.5, 0.5).
+    c2w = np.eye(4, dtype=np.float32)
+    img = warp_photo_view(photo, c2w, f, f, cx, cy, H, W,
+                          plane_z=4.0, half_h=1.0)
+    center = img[H // 2, W // 2]
+    np.testing.assert_allclose(center[0], 0.5, atol=0.02)
+    np.testing.assert_allclose(center[1], 0.5, atol=0.02)
+
+    # Red gradient increases left -> right, green top -> bottom (sample
+    # inside the plane's footprint — the far edges fall off the plane).
+    assert img[H // 2, W // 2 + W // 4, 0] > img[H // 2, W // 4, 0]
+    assert img[H // 2 + H // 4, W // 2, 1] > img[H // 4, W // 2, 1]
+
+    # Shifting the camera +x shifts plane content LEFT in the image.
+    c2w2 = np.eye(4, dtype=np.float32)
+    c2w2[0, 3] = 0.5
+    img2 = warp_photo_view(photo, c2w2, f, f, cx, cy, H, W,
+                           plane_z=4.0, half_h=1.0)
+    assert img2[H // 2, W // 2, 0] > img[H // 2, W // 2, 0]
+
+    # Rays missing the plane give the background.
+    c2w3 = np.eye(4, dtype=np.float32)
+    c2w3[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    img3 = warp_photo_view(photo, c2w3, f, f, cx, cy, H, W,
+                           plane_z=4.0, half_h=1.0, background=0.25)
+    np.testing.assert_allclose(img3, 0.25, atol=1e-6)
