@@ -249,12 +249,18 @@ def fit(
             if demand is not None and demand > cap_pairs:
                 report.overflow_events += 1
                 if auto_capacity:
+                    from ..utils.memory import estimate_train_memory
+
                     ratio = max(demand / cap_pairs * 1.25, 1.5)
                     new_mp = -(-int(render_cfg.max_pairs * ratio) // 1024) * 1024
+                    est = estimate_train_memory(
+                        render_cfg.with_(max_pairs=new_mp), train_cfg
+                    )
                     log_fn(
                         f"iter {it}: pair overflow (demand {demand}, "
                         f"capacity {cap_pairs}) — growing max_pairs "
-                        f"{render_cfg.max_pairs} -> {new_mp} (recompile)"
+                        f"{render_cfg.max_pairs} -> {new_mp} (recompile; "
+                        f"~{est['total_mb']:.0f} MB estimated step footprint)"
                     )
                     render_cfg = render_cfg.with_(max_pairs=new_mp)
                     step_fn = build_step(render_cfg)

@@ -264,3 +264,27 @@ def test_evaluate_views_render_batch_matches_per_view():
     for a, b in zip(r1["per_view"], r2["per_view"]):
         assert a["psnr"] == pytest.approx(b["psnr"], abs=1e-3)
         assert a["l1"] == pytest.approx(b["l1"], abs=1e-6)
+
+
+def test_memory_estimates_scale_sanely():
+    from gsplat_tpu import RenderConfig, TrainConfig
+    from gsplat_tpu.utils import (
+        estimate_render_memory,
+        estimate_train_memory,
+    )
+
+    cfg = RenderConfig(height=1080, width=1920, max_pairs=2**21)
+    r = estimate_render_memory(cfg, 131072)
+    # Pairs-sized terms dominate at this scale; total within sane bounds.
+    assert r["pair_features_mb"] > r["per_gaussian_mb"]
+    assert 100 < r["total_mb"] < 4000
+    # Doubling max_pairs grows the pairs-sized terms.
+    r2 = estimate_render_memory(cfg.with_(max_pairs=2**22), 131072)
+    assert r2["pair_features_mb"] > 1.5 * r["pair_features_mb"]
+
+    t = estimate_train_memory(cfg, TrainConfig(capacity=131072, batch_size=1))
+    assert t["total_mb"] > r["total_mb"]  # backward + optimizer on top
+    tb = estimate_train_memory(
+        cfg, TrainConfig(capacity=131072, batch_size=4, batched_render=True)
+    )
+    assert tb["total_mb"] > 2 * t["total_mb"]  # shared B x capacity
