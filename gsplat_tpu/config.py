@@ -68,6 +68,15 @@ class RenderConfig:
     #              sub-pixel splats don't gain energy when dilated.
     aa_mode: str = "none"
     aa_dilation: float = 0.3
+    # Transmittance math inside the default aligned Pallas kernel
+    # (raster_pallas fwd + bwd; the mega/seg variants always use "log"):
+    #   "log"     — T = exp(cumsum(log1p(-alpha))) via the MXU triangular
+    #               matmul (3 transcendental [G, P] ops per block).
+    #   "cumprod" — exact two-level direct product of (1 - alpha): zero
+    #               transcendentals / zero MXU, the torch reference's own
+    #               shifted-cumprod semantics (render.py:379-383); agrees
+    #               with "log" to ~2e-7. A/B on hardware; same VJP math.
+    transmittance_math: str = "log"
     # Batched-view rendering (render.py::render_batch_from_params): B views
     # are stacked into one virtual image of B * padded_height rows. uv stays
     # VIEW-LOCAL; the rasterizer maps a tile row to its pixel row modulo

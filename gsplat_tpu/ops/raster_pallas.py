@@ -101,6 +101,49 @@ def _cumsum_rows_incl(x):
     return _tri_matmul(_lower_tri(G, False, x.dtype), x)
 
 
+def _transmittance(alpha, T_in, cfg: RenderConfig):
+    """Per-row exclusive transmittance for one block.
+
+    Returns (T_excl [G, P], T_out [1, P]) — row i's transmittance BEFORE
+    compositing row i, and the block's outgoing transmittance.
+
+    cfg.transmittance_math selects the implementation (see config.py):
+    "log" composes in log space on the MXU; "cumprod" is the exact direct
+    two-level product of (1 - alpha) with zero transcendentals — the torch
+    reference's shifted-cumprod semantics (render.py:379-383).
+    """
+    G, P = alpha.shape
+    if cfg.transmittance_math == "cumprod":
+        m = 1.0 - alpha
+        R = 8 if G % 8 == 0 else (4 if G % 4 == 0 else 1)
+        K = G // R
+        mg = m.reshape(K, R, P)
+        # Within-group EXCLUSIVE prefixes, built serially (R-1 multiplies);
+        # rows assembled with concatenate (no in-kernel scatter — Mosaic).
+        parts = [jnp.ones((K, 1, P), jnp.float32)]
+        run = mg[:, 0:1, :]
+        for j in range(1, R):
+            parts.append(run)
+            run = run * mg[:, j : j + 1, :]
+        within = jnp.concatenate(parts, axis=1) if R > 1 else parts[0]
+        gtot = run[:, 0, :]  # [K, P] full group products
+        if K == 1:
+            T_excl = within.reshape(G, P) * T_in
+            return T_excl, T_in * gtot
+        gparts = [jnp.ones((1, P), jnp.float32)]
+        grun = gtot[0:1, :]
+        for k in range(1, K):
+            gparts.append(grun)
+            grun = grun * gtot[k : k + 1, :]
+        gpre = jnp.concatenate(gparts, axis=0)  # [K, P] exclusive
+        T_excl = (within * gpre[:, None, :]).reshape(G, P) * T_in
+        return T_excl, T_in * grun  # grun = full G-row product
+    s = jnp.log1p(-alpha)
+    cum = _cumsum_rows_incl(s)
+    T_excl = jnp.exp(cum - s) * T_in
+    return T_excl, T_in * jnp.exp(jnp.sum(s, axis=0, keepdims=True))
+
+
 def _block_alpha(feats, px, py, cfg: RenderConfig):
     """Per-(pair, pixel) alpha for one block. feats [G, 16] -> alpha [G, P].
 
@@ -153,10 +196,8 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
         px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id, cfg.view_tile_rows)
         alpha, *_ = _block_alpha(feats, px, py, cfg)
 
-        # T_i = T_carry * prod_{j<i}(1 - alpha_j), in log space.
-        s = jnp.log1p(-alpha)
-        cum = _cumsum_rows_incl(s)
-        T_excl = jnp.exp(cum - s) * T_in  # [G, P]
+        # T_i = T_carry * prod_{j<i}(1 - alpha_j).
+        T_excl, T_out = _transmittance(alpha, T_in, cfg)  # [G, P], [1, P]
         alive = T_excl > cfg.transmittance_min
         w = jnp.where(alive, alpha * T_excl, 0.0)
 
@@ -167,9 +208,7 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
             precision=jax.lax.Precision.HIGHEST,
         )  # [4, P]
         out_ref[0, 0:4, :] = rgb_in + contrib
-        out_ref[0, 4:5, :] = T_in * jnp.exp(
-            jnp.sum(s, axis=0, keepdims=True)
-        )
+        out_ref[0, 4:5, :] = T_out
 
 
 def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
@@ -201,9 +240,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
         op = feats[:, 5:6]
         rgb = feats[:, 6:10]  # [G, 4]: rgb + depth
 
-        s = jnp.log1p(-alpha)
-        cum = _cumsum_rows_incl(s)
-        T_excl = jnp.exp(cum - s) * T_in  # [G, P]
+        T_excl, T_out = _transmittance(alpha, T_in, cfg)  # [G, P], [1, P]
         alive = T_excl > cfg.transmittance_min
         w = jnp.where(alive, alpha * T_excl, 0.0)  # [G, P]
 
@@ -272,9 +309,7 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        carry_ref[4:5, :] = T_in * jnp.exp(
-            jnp.sum(s, axis=0, keepdims=True)
-        )
+        carry_ref[4:5, :] = T_out
 
     @pl.when(jnp.logical_not(active))
     def _():

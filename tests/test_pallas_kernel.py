@@ -246,3 +246,41 @@ def test_mega_saturated_scene_early_exit_correct():
     img_x, _ = _render(params, c2w, "xla", MEGA_CFG)
     np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_x),
                                atol=2e-5)
+
+def test_cumprod_transmittance_matches_log():
+    """transmittance_math="cumprod" (exact two-level product, zero
+    transcendentals) must agree with the default log-space math in both
+    the forward image and the custom-VJP gradients."""
+    scene = make_scene(None, n=160, seed_offset=5)
+    params = _params(scene)
+    c2w = jnp.asarray(scene["c2w"])
+
+    img_l, aux_l = _render(params, c2w, "pallas")
+    img_c, aux_c = _render(
+        params, c2w, "pallas", CFG.with_(transmittance_math="cumprod")
+    )
+    assert int(aux_c.num_pairs) == int(aux_l.num_pairs)
+    err = float(jnp.max(jnp.abs(img_c - img_l)))
+    assert err < 2e-6, f"cumprod forward deviates from log: {err}"
+
+    tgt = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    )
+
+    def loss(p, cfg):
+        img, _ = render_from_params(
+            p, c2w, CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
+            cfg.with_(backend="pallas"),
+        )
+        return jnp.mean(jnp.abs(img - tgt)) + jnp.mean(img * img)
+
+    g_l = jax.grad(lambda p: loss(p, CFG))(params)
+    g_c = jax.grad(
+        lambda p: loss(p, CFG.with_(transmittance_math="cumprod"))
+    )(params)
+    for k in params:
+        scale = float(jnp.max(jnp.abs(g_l[k]))) + 1e-12
+        err = float(jnp.max(jnp.abs(g_c[k] - g_l[k])))
+        assert err / scale < 1e-4, (
+            f"grad[{k}] cumprod vs log: max abs {err} (rel {err / scale:.2e})"
+        )
