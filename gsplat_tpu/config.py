@@ -77,6 +77,22 @@ class RenderConfig:
     #               shifted-cumprod semantics (render.py:379-383); agrees
     #               with "log" to ~2e-7. A/B on hardware; same VJP math.
     transmittance_math: str = "log"
+    # Tile-culling granularity of the pair expansion (ops/binning.py):
+    #   "rect"    — one-level expansion over the per-gaussian axis-aligned
+    #               tile rectangle (marginal-extent AABB).
+    #   "ellipse" — two-level (tile-rows -> pairs) expansion with the EXACT
+    #               per-row x-interval of the ellipse {q <= k2}: culls the
+    #               rectangle corners the splat never reaches (~25-50% fewer
+    #               pairs for rotated anisotropic splats). Bit-identical
+    #               images/grads: every culled tile has zero alpha at all of
+    #               its pixel centers by construction (same k2 the kernel
+    #               enforces via chi2_clip + alpha_cutoff).
+    cull_mode: str = "rect"
+    # Static capacity of the ellipse expansion's intermediate
+    # (gaussian, tile-row) stage. 0 -> max_pairs // 2. Overflow drops whole
+    # gaussians from the back of the depth order and is reported via
+    # RenderAux.num_rows / row_capacity — never silent.
+    max_rows: int = 0
     # Batched-view rendering (render.py::render_batch_from_params): B views
     # are stacked into one virtual image of B * padded_height rows. uv stays
     # VIEW-LOCAL; the rasterizer maps a tile row to its pixel row modulo
@@ -97,6 +113,11 @@ class RenderConfig:
                 f"(image {self.width}x{self.height}, tile {self.tile}); "
                 f"use a larger tile size"
             )
+
+    @property
+    def row_capacity(self) -> int:
+        """Static (gaussian, tile-row) capacity of the ellipse expansion."""
+        return self.max_rows if self.max_rows else self.max_pairs // 2
 
     @property
     def padded_pairs(self) -> int:

@@ -81,6 +81,9 @@ class TileBinning(NamedTuple):
     # duplicate-index scatter-add (the round-1 65 ms backward bottleneck).
     perm: jnp.ndarray  # [padded_pairs] int32 presort pair index
     gauss_offsets: jnp.ndarray  # [N+1] int32 presort segment boundaries
+    # True (gaussian, tile-row) demand of the ellipse expansion's row stage
+    # (0 in rect mode); may exceed cfg.row_capacity — reported, never silent.
+    num_rows: jnp.ndarray | None = None
 
 
 def depth_order_and_rank(depth: jnp.ndarray, valid: jnp.ndarray):
@@ -103,6 +106,10 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     Returns a dict with the presort (gaussian-major) pair fields used by both
     the block-aligned and the compact binning layouts.
     """
+    if cfg.cull_mode == "ellipse":
+        return _expand_pairs_ellipse(proj, cfg)
+    if cfg.cull_mode != "rect":
+        raise ValueError(f"unknown cull_mode {cfg.cull_mode!r}")
     n = proj.depth.shape[0]
     num_tiles = cfg.num_tiles
     cap = cfg.max_pairs
@@ -195,6 +202,206 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
         "offsets": offsets,
         "tile_count": tile_count,
         "total": total,
+        "rows_total": jnp.int32(0),  # rect mode has no row stage
+    }
+
+
+def _expand_pairs_ellipse(proj: ProjectedGaussians, cfg: RenderConfig):
+    """Two-level (tile-rows -> pairs) expansion with exact per-row ellipse
+    x-intervals — same output contract as the rect branch of
+    :func:`_expand_pairs`, with strictly fewer pairs.
+
+    A gaussian's contribution vanishes at every pixel with
+    ``q = A du^2 + 2B du dv + C dv^2 > k2`` where
+    ``k2 = min(chi2_clip, 2 ln(op / alpha_cutoff))`` — exactly the zero set
+    the compositor enforces (raster_pallas._block_alpha; reference cutoff
+    semantics render.py:361-374). For a fixed pixel-row band
+    ``dy in [l, h]`` the reachable x-extent is
+
+        xhi(dy) = (-B dy + sqrt(A k2 - det dy^2)) / A      (concave in dy)
+        xlo(dy) = (-B dy - sqrt(A k2 - det dy^2)) / A      (convex in dy)
+
+    with ``det = AC - B^2 > 0``; xhi's unconstrained peak sits at
+    ``dy* = -B sqrt(k2 / (C det))`` where ``xhi = sqrt(k2 C / det)`` (the
+    marginal extent), so the band maximum is ``xhi(clip(dy*, l, h))`` by
+    concavity (and symmetrically ``xlo(clip(-dy*, l, h))``). One closed-form
+    evaluation per (gaussian, tile-row) therefore gives the EXACT tile
+    x-interval; a 0.25 px guard absorbs f32 rounding so the cull stays
+    conservative vs the kernel's own f32 alpha test. Rect-mode images and
+    gradients are reproduced bit-for-bit (tests/test_binning_ellipse.py).
+
+    Pipeline (all static shapes, gather-free on the pair axis):
+      rows stage: per-gaussian AABB row counts -> row offsets -> the usual
+        histogram + delta-cumsum decode gives each row its gaussian slot and
+        local row index; ONE rows-sized row gather fetches the 10 per-gaussian
+        cull terms; closed-form interval math yields (txlo, row_len).
+      counts: per-tile pair counts via a rows-sized +/-1 interval scatter and
+        an x-axis prefix sum (exact, pre-sort — required by the alignment-
+        padding sort trick).
+      pairs stage: row pair-offsets -> histogram + THREE delta channels
+        (packed txlo|ty, row pair-start, gaussian slot) decode every pair's
+        tile id and depth slot with one [4, cap+1] cumsum.
+
+    Capacity overflow (rows or pairs) drops whole gaussians from the back of
+    the depth order, exactly like rect mode; both demands are reported.
+    """
+    n = proj.depth.shape[0]
+    num_tiles = cfg.num_tiles
+    cap = cfg.max_pairs
+    cap_r = cfg.row_capacity
+    T = cfg.tile
+
+    order, _ = depth_order_and_rank(proj.depth, proj.valid)
+
+    tile_min = proj.tile_min[order]
+    tile_max = proj.tile_max[order]
+    n_v = jnp.maximum(tile_max[:, 1] - tile_min[:, 1] + 1, 0)
+
+    # --- per-gaussian cull terms (depth order, sanitized) ---
+    valid_o = proj.valid[order]
+    uv = proj.uv[order]
+    conic = proj.conic[order]
+    opac = proj.opacity[order]
+    a = jnp.where(valid_o, conic[:, 0], 1.0)
+    b = jnp.where(valid_o, conic[:, 1], 0.0)
+    c = jnp.where(valid_o, conic[:, 2], 1.0)
+    k2 = jnp.minimum(
+        cfg.chi2_clip,
+        2.0 * jnp.log(jnp.maximum(opac, 1e-12) / cfg.alpha_cutoff),
+    )
+    # Slight widening keeps the algebraic boundary conservative vs the
+    # kernel's directly-evaluated q (different f32 rounding order).
+    k2 = jnp.where(valid_o, jnp.maximum(k2, 0.0), 1.0) * (1.0 + 1e-5) + 1e-6
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    table = jnp.stack(
+        [
+            jnp.where(valid_o, uv[:, 0], 0.0),
+            jnp.where(valid_o, uv[:, 1], 0.0),
+            b,
+            1.0 / a,
+            a * k2,  # P1: discriminant D(dy) = P1 - det dy^2
+            det,
+            -b * jnp.sqrt(k2 / (c * det)),  # dy* peak of xhi
+            tile_min[:, 0].astype(jnp.float32),  # AABB clip (image bounds)
+            tile_max[:, 0].astype(jnp.float32),
+            tile_min[:, 1].astype(jnp.float32),  # first tile row
+        ],
+        axis=-1,
+    )  # [N, 10]
+
+    # --- rows stage ---
+    rows_cum = jnp.cumsum(n_v, dtype=jnp.int32)
+    rows_total = rows_cum[-1]
+    nrows = jnp.where(rows_cum <= cap_r, n_v, 0).astype(jnp.int32)
+    row_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nrows, dtype=jnp.int32)]
+    )  # [N+1]
+
+    r = jnp.arange(cap_r, dtype=jnp.int32)
+    rstarts = row_off[:-1]
+    accR = jnp.zeros((2, cap_r + 1), jnp.int32)
+    accR = accR.at[0, jnp.clip(row_off, 0, cap_r)].add(1)
+    accR = accR.at[1, rstarts].add(
+        jnp.concatenate([rstarts[:1], rstarts[1:] - rstarts[:-1]]),
+        mode="drop",
+    )
+    cumsR = jnp.cumsum(accR, axis=1)[:, :cap_r]
+    gslot = cumsR[0] - 1  # [cap_r] depth rank of the row's gaussian, or n
+    row_ok = gslot < n
+    tv = table[jnp.clip(gslot, 0, n - 1)]  # [cap_r, 10] the ONE row gather
+
+    ly = r - cumsR[1]
+    ty = tv[:, 9].astype(jnp.int32) + ly  # global tile row (exact: <= 1023)
+    tyl = ty % cfg.view_tile_rows if cfg.view_tile_rows else ty
+    dyl = tyl.astype(jnp.float32) * T - tv[:, 1]  # band of pixel-center dys
+    dyh = dyl + (T - 1)
+    dy0 = jnp.clip(0.0, dyl, dyh)
+    nonempty = tv[:, 4] - tv[:, 5] * dy0 * dy0 >= 0.0  # D at band's best dy
+    dyc_h = jnp.clip(tv[:, 6], dyl, dyh)
+    dyc_l = jnp.clip(-tv[:, 6], dyl, dyh)
+    rt_h = jnp.sqrt(jnp.maximum(tv[:, 4] - tv[:, 5] * dyc_h * dyc_h, 0.0))
+    rt_l = jnp.sqrt(jnp.maximum(tv[:, 4] - tv[:, 5] * dyc_l * dyc_l, 0.0))
+    xhi = tv[:, 0] + (-tv[:, 2] * dyc_h + rt_h) * tv[:, 3] + 0.25
+    xlo = tv[:, 0] + (-tv[:, 2] * dyc_l - rt_l) * tv[:, 3] - 0.25
+    rmask = row_ok & nonempty  # NaN-safe: NaN >= 0 is False
+    xhi = jnp.where(rmask, xhi, 0.0)
+    xlo = jnp.where(rmask, xlo, 0.0)
+    txlo = jnp.maximum(
+        jnp.where(rmask, tv[:, 7], 0.0), jnp.floor(xlo / T)
+    ).astype(jnp.int32)
+    txhi = jnp.minimum(
+        jnp.where(rmask, tv[:, 8], -1.0), jnp.floor(xhi / T)
+    ).astype(jnp.int32)
+    ty = jnp.where(rmask, ty, 0)
+    rlen = jnp.where(rmask, jnp.maximum(txhi - txlo + 1, 0), 0).astype(
+        jnp.int32
+    )
+    # Packing-safe txlo (only consumed where rlen > 0; clamp keeps the
+    # delta-encoded int32 packing in range for empty/garbage rows).
+    txlo = jnp.clip(txlo, 0, _PACK_MASK)
+
+    # --- per-gaussian pair totals; whole-gaussian drop at pair capacity ---
+    S = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(rlen, dtype=jnp.int32)]
+    )
+    g_pairs = S[row_off[1:]] - S[row_off[:-1]]  # [N]
+    full_cum = jnp.cumsum(g_pairs, dtype=jnp.int32)
+    total = full_cum[-1]  # demand over materialized rows (exact unless the
+    # row stage itself overflowed — then rows_total > cap_r flags it)
+    cut = jnp.sum(full_cum <= cap).astype(jnp.int32)
+    rlen = jnp.where(gslot < cut, rlen, 0)
+    S2 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(rlen, dtype=jnp.int32)]
+    )  # [cap_r+1]; S2[-1] = kept pairs <= cap
+    offsets = S2[row_off]  # [N+1] presort pair boundaries per gaussian
+
+    # --- exact per-tile counts BEFORE the sort (interval scatter) ---
+    one = (rlen > 0).astype(jnp.int32)
+    ty_sc = jnp.where(rlen > 0, ty, cfg.tiles_y)  # out-of-range -> dropped
+    gridr = jnp.zeros((cfg.tiles_y, cfg.tiles_x + 1), jnp.int32)
+    gridr = gridr.at[ty_sc, txlo].add(one, mode="drop")
+    gridr = gridr.at[ty_sc, txlo + rlen].add(-one, mode="drop")
+    tile_count = jnp.cumsum(gridr, axis=1)[:, : cfg.tiles_x].reshape(
+        num_tiles
+    )
+
+    # --- pairs stage: histogram + three delta channels, one cumsum ---
+    packed = (txlo | (ty << _PACK_BITS)).astype(jnp.int32)
+    pstarts = S2[:-1]  # [cap_r] first pair of each row
+    accP = jnp.zeros((4, cap + 1), jnp.int32)
+    accP = accP.at[0, jnp.clip(S2, 0, cap)].add(1)
+    accP = accP.at[1, pstarts].add(
+        jnp.concatenate([packed[:1], packed[1:] - packed[:-1]]), mode="drop"
+    )
+    accP = accP.at[2, pstarts].add(
+        jnp.concatenate([pstarts[:1], pstarts[1:] - pstarts[:-1]]),
+        mode="drop",
+    )
+    accP = accP.at[3, pstarts].add(
+        jnp.concatenate([gslot[:1], gslot[1:] - gslot[:-1]]), mode="drop"
+    )
+    cumsP = jnp.cumsum(accP, axis=1)[:, :cap]
+    p = jnp.arange(cap, dtype=jnp.int32)
+    pair_ok = p < S2[-1]
+    packed_p = cumsP[1]
+    local = p - cumsP[2]  # x offset within the row interval
+    tx = (packed_p & _PACK_MASK) + local
+    ty_p = (packed_p >> _PACK_BITS) & _PACK_MASK
+    tile_id = jnp.where(
+        pair_ok, (ty_p * cfg.tiles_x + tx).astype(jnp.int32), num_tiles
+    )
+    slot = jnp.where(pair_ok, cumsP[3], -1)
+
+    return {
+        "n": n,
+        "order": order,
+        "slot": slot,
+        "tile_id": tile_id,
+        "pair_ok": pair_ok,
+        "offsets": offsets,
+        "tile_count": tile_count,
+        "total": total,
+        "rows_total": rows_total,
     }
 
 
@@ -313,6 +520,7 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
         depth_order=order,
         perm=perm,
         gauss_offsets=offsets,
+        num_rows=ex["rows_total"],
     )
 
 
@@ -344,6 +552,7 @@ class CompactBinning(NamedTuple):
     depth_order: jnp.ndarray  # [N] int32 gaussian indices sorted by depth
     perm: jnp.ndarray  # [compact_pairs] int32 presort pair index (cap = pad)
     gauss_offsets: jnp.ndarray  # [N+1] int32 presort segment boundaries
+    num_rows: jnp.ndarray | None = None  # row-stage demand (see TileBinning)
 
 
 def bin_gaussians_compact(
@@ -444,4 +653,5 @@ def bin_gaussians_compact(
         depth_order=ex["order"],
         perm=perm,
         gauss_offsets=ex["offsets"],
+        num_rows=ex["rows_total"],
     )

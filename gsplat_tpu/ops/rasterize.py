@@ -59,6 +59,11 @@ class RenderAux(NamedTuple):
     # Per-gaussian screen radius for this view ([N] int32, 0 = culled);
     # consumed by the paper-style ADC's screen-size pruning.
     screen_radius: jnp.ndarray | None = None
+    # Ellipse cull mode only: true (gaussian, tile-row) demand of the
+    # two-level expansion's row stage vs its static capacity (overflow drops
+    # whole far gaussians — reported here, never silent).
+    num_rows: jnp.ndarray | None = None
+    row_capacity: int = 0
 
 
 def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
@@ -268,6 +273,8 @@ def rasterize_binned_xla(
         per_tile_capacity=K,
         depth=planes[..., 3],
         alpha=1.0 - planes[..., 4],
+        num_rows=binning.num_rows,
+        row_capacity=cfg.row_capacity if cfg.cull_mode == "ellipse" else 0,
     )
     return img, aux._replace(screen_radius=proj.radius)
 
@@ -348,6 +355,8 @@ def rasterize_binned_pallas(
         per_tile_capacity=cfg.padded_pairs,
         depth=planes[..., 3],
         alpha=1.0 - planes[..., 4],
+        num_rows=binning.num_rows,
+        row_capacity=cfg.row_capacity if cfg.cull_mode == "ellipse" else 0,
     )
     return img, aux._replace(screen_radius=proj.radius)
 
@@ -436,6 +445,8 @@ def rasterize_binned_seg(
         depth=planes[..., 3],
         alpha=1.0 - planes[..., 4],
         max_block_tiles=binning.max_block_tiles,
+        num_rows=binning.num_rows,
+        row_capacity=cfg.row_capacity if cfg.cull_mode == "ellipse" else 0,
     )
     return img, aux._replace(screen_radius=proj.radius)
 

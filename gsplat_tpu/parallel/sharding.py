@@ -126,8 +126,11 @@ def make_sharded_train_step(
                 jax.lax.stop_gradient(aux.screen_radius) if paper else None
             )
             # aux.num_pairs counts the WHOLE local batch (capacity is
-            # b_local * band_cfg.max_pairs, reported by step_fn).
-            return total, (comps["l1"], comps["ssim"], aux.num_pairs, radii)
+            # b_local * band_cfg.max_pairs, reported by step_fn). Packed as
+            # [pairs, rows] so the ellipse cull's row-stage demand rides the
+            # same pmax reduction (rows is 0 in rect mode).
+            demand = jnp.stack([aux.num_pairs, aux.num_rows])
+            return total, (comps["l1"], comps["ssim"], demand, radii)
 
         def loss_fn(p, taps):
             def view_loss(carry, xs):
@@ -142,7 +145,8 @@ def make_sharded_train_step(
                     img, view["image"], train_cfg.lambda_l1,
                     train_cfg.lambda_ssim,
                 )
-                out = (total, comps["l1"], comps["ssim"], aux.num_pairs)
+                demand = jnp.stack([aux.num_pairs, aux.num_rows])
+                out = (total, comps["l1"], comps["ssim"], demand)
                 if paper:
                     out += (jax.lax.stop_gradient(aux.screen_radius),)
                 return carry, out
@@ -153,7 +157,7 @@ def make_sharded_train_step(
             totals, l1s, ssims, pairs = outs[:4]
             radii = outs[4] if paper else None
             return jnp.mean(totals), (
-                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs), radii
+                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs, axis=0), radii
             )
 
         if train_cfg.batched_render:
@@ -250,8 +254,14 @@ def make_sharded_train_step(
         )
         metrics = {"total": loss, "l1": l1, "ssim": ssim,
                    "pos_grad": grads["pos"],
-                   "max_band_pairs": band_pairs,
+                   "max_band_pairs": band_pairs[0],
                    "band_pair_capacity": jnp.int32(cap)}
+        if band_cfg.cull_mode == "ellipse":
+            metrics["row_demand"] = band_pairs[1]
+            metrics["row_capacity"] = jnp.int32(
+                band_cfg.row_capacity
+                * (local_b if train_cfg.batched_render else 1)
+            )
         if paper:
             metrics["uv_grad_sum"], metrics["visible"], \
                 metrics["max_radius"] = paper_stats
@@ -429,7 +439,8 @@ def make_gauss_sharded_train_step(
         # radius is the LOCAL shard's full-frame screen radius (computed
         # before band localization) — exactly the per-view visibility /
         # screen-size statistic the paper ADC wants, already shard-local.
-        return img, binning.num_pairs, ring_overflow, proj.radius
+        demand = jnp.stack([binning.num_pairs, binning.num_rows])
+        return img, demand, ring_overflow, proj.radius
 
     def device_fn(params, alive, batch):
         n_local = alive.shape[0]
@@ -493,10 +504,11 @@ def make_gauss_sharded_train_step(
                 full, batch["image"], train_cfg.lambda_l1,
                 train_cfg.lambda_ssim,
             )
-            # Whole-batch pair demand vs the b_local * band capacity
+            # Whole-batch [pair, row] demand vs the b_local * band capacity
             # (reported scaled by step_fn); no ring in the batched path.
             return total, (
-                comps["l1"], comps["ssim"], binning.num_pairs,
+                comps["l1"], comps["ssim"],
+                jnp.stack([binning.num_pairs, binning.num_rows]),
                 jnp.int32(0), radii if paper else None,
             )
 
@@ -524,7 +536,7 @@ def make_gauss_sharded_train_step(
             totals, l1s, ssims, pairs, ring_ovfs = outs[:5]
             radii = outs[5] if paper else None
             return jnp.mean(totals), (
-                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs),
+                jnp.mean(l1s), jnp.mean(ssims), jnp.max(pairs, axis=0),
                 jnp.max(ring_ovfs), radii,
             )
 
@@ -621,9 +633,15 @@ def make_gauss_sharded_train_step(
         )
         metrics = {"total": loss, "l1": l1, "ssim": ssim,
                    "pos_grad": grads["pos"],
-                   "max_band_pairs": band_pairs,
+                   "max_band_pairs": band_pairs[0],
                    "band_pair_capacity": jnp.int32(cap),
                    "ring_overflow": ring_ovf}
+        if band_cfg.cull_mode == "ellipse":
+            metrics["row_demand"] = band_pairs[1]
+            metrics["row_capacity"] = jnp.int32(
+                band_cfg.row_capacity
+                * (local_b if train_cfg.batched_render else 1)
+            )
         if paper:
             metrics["uv_grad_sum"], metrics["visible"], \
                 metrics["max_radius"] = paper_stats

@@ -134,6 +134,9 @@ def stack_view_projections(proj_b, cfg: RenderConfig):
     bcfg = cfg.with_(
         height=B * cfg.padded_height,
         max_pairs=B * cfg.max_pairs,
+        # row_capacity auto-scales with max_pairs when max_rows == 0; an
+        # explicit per-view max_rows is shared across the batch like pairs.
+        max_rows=B * cfg.max_rows,
         view_tile_rows=cfg.tiles_y,
     )
     return stacked, bcfg

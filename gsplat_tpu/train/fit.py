@@ -270,6 +270,26 @@ def fit(
                         f"capacity {cap_pairs}; raise "
                         f"RenderConfig.max_pairs"
                     )
+            # Ellipse-cull row stage: same never-silent + auto-grow contract.
+            if "row_demand" in metrics:
+                rdemand = int(metrics["row_demand"])
+                rcap = int(metrics["row_capacity"])
+                if rdemand > rcap:
+                    report.overflow_events += 1
+                    if auto_capacity:
+                        new_mr = -(-int(rdemand * 1.25) // 1024) * 1024
+                        log_fn(
+                            f"iter {it}: row overflow (demand {rdemand}, "
+                            f"capacity {rcap}) — growing max_rows -> "
+                            f"{new_mr} (recompile)"
+                        )
+                        render_cfg = render_cfg.with_(max_rows=new_mr)
+                        step_fn = build_step(render_cfg)
+                    else:
+                        log_fn(
+                            f"iter {it}: row overflow — demand {rdemand}, "
+                            f"capacity {rcap}; raise RenderConfig.max_rows"
+                        )
             ring_ovf = int(metrics.get("ring_overflow", 0))
             if ring_ovf > 0:
                 report.overflow_events += 1

@@ -191,6 +191,9 @@ def batch_loss_fn(
             "pair_demand": aux.num_pairs,
             "pair_capacity": jnp.int32(aux.pair_capacity),
         }
+        if render_cfg.cull_mode == "ellipse":
+            metrics["row_demand"] = aux.num_rows
+            metrics["row_capacity"] = jnp.int32(aux.row_capacity)
         if uv_taps is not None:
             radii = jax.lax.stop_gradient(aux.screen_radius)  # [B, N]
             metrics["visible"] = jnp.sum((radii > 0).astype(jnp.int32), axis=0)
@@ -213,7 +216,7 @@ def batch_loss_fn(
             radius = jax.lax.stop_gradient(aux.screen_radius)
             extra = (radius,)
         return carry, (total, comps["l1"], comps["ssim"],
-                       aux.num_pairs) + extra
+                       aux.num_pairs, aux.num_rows) + extra
 
     # NOTE: no jax.checkpoint here — the Pallas rasterizer's custom VJP
     # keeps only O(pixels) residuals and the XLA fallback checkpoints per
@@ -221,17 +224,31 @@ def batch_loss_fn(
     # in backward (+30% step time measured) for no memory benefit.
     xs = (batch, uv_taps)
     cap = jnp.int32(render_cfg.max_pairs)
+
+    def row_metrics(rows):
+        if render_cfg.cull_mode != "ellipse":
+            return {}
+        return {
+            "row_demand": jnp.max(rows),
+            "row_capacity": jnp.int32(render_cfg.row_capacity),
+        }
+
     if uv_taps is None:
         b = batch["c2w"].shape[0]
         xs = (batch, jnp.zeros((b,), jnp.float32))  # dummy scan operand
-        _, (totals, l1s, ssims, pairs) = jax.lax.scan(view_loss, 0.0, xs)
+        _, (totals, l1s, ssims, pairs, rows) = jax.lax.scan(
+            view_loss, 0.0, xs
+        )
         return jnp.mean(totals), {
             "l1": jnp.mean(l1s),
             "ssim": jnp.mean(ssims),
             "pair_demand": jnp.max(pairs),
             "pair_capacity": cap,
+            **row_metrics(rows),
         }
-    _, (totals, l1s, ssims, pairs, radii) = jax.lax.scan(view_loss, 0.0, xs)
+    _, (totals, l1s, ssims, pairs, rows, radii) = jax.lax.scan(
+        view_loss, 0.0, xs
+    )
     return jnp.mean(totals), {
         "l1": jnp.mean(l1s),
         "ssim": jnp.mean(ssims),
@@ -239,6 +256,7 @@ def batch_loss_fn(
         "pair_capacity": cap,
         "visible": jnp.sum((radii > 0).astype(jnp.int32), axis=0),  # [N]
         "max_radius": jnp.max(radii, axis=0),  # [N]
+        **row_metrics(rows),
     }
 
 

@@ -26,6 +26,17 @@ def main():
                    help="evaluate on the held-out test views (every Nth; "
                         "must match the --holdout_every used in training)")
     p.add_argument("--max_pairs", type=int, default=2**21)
+    p.add_argument("--cull_mode", default="rect",
+                   choices=("rect", "ellipse"),
+                   help="tile culling granularity (ellipse: exact per-row "
+                        "intervals, fewer pairs, identical images)")
+    p.add_argument("--transmittance_math", default="log",
+                   choices=("log", "cumprod"))
+    p.add_argument("--aa_mode", default="none",
+                   choices=("none", "dilate", "mip"),
+                   help="screen-space antialiasing: 'dilate' adds the 0.3 px "
+                        "low-pass, 'mip' also energy-compensates opacity "
+                        "(Mip-Splatting Eq. 6)")
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
     p.add_argument("--json", action="store_true", help="print JSON only")
@@ -47,7 +58,10 @@ def main():
         split="test" if args.holdout_every else "all",
     )
     cfg = RenderConfig(height=ds.height, width=ds.width,
-                       max_pairs=args.max_pairs, backend=args.backend)
+                       max_pairs=args.max_pairs, backend=args.backend,
+                       cull_mode=args.cull_mode,
+                       transmittance_math=args.transmittance_math,
+                       aa_mode=args.aa_mode)
     n = len(ds) if args.max_views is None else min(len(ds), args.max_views)
     views = [ds[i] for i in range(n)]
     result = evaluate_views(

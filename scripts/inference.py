@@ -51,6 +51,17 @@ def main():
                         "this framework uses the multiplier convention "
                         "everywhere")
     p.add_argument("--max_pairs", type=int, default=2**21)
+    p.add_argument("--cull_mode", default="rect",
+                   choices=("rect", "ellipse"),
+                   help="tile culling granularity (ellipse: exact per-row "
+                        "intervals, fewer pairs, identical images)")
+    p.add_argument("--transmittance_math", default="log",
+                   choices=("log", "cumprod"))
+    p.add_argument("--aa_mode", default="none",
+                   choices=("none", "dilate", "mip"),
+                   help="screen-space antialiasing: 'dilate' adds the 0.3 px "
+                        "low-pass, 'mip' also energy-compensates opacity "
+                        "(Mip-Splatting Eq. 6)")
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
     p.add_argument("--render_batch", type=int, default=1,
@@ -83,7 +94,9 @@ def main():
         W = args.width
 
     cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
-                       backend=args.backend)
+                       backend=args.backend, cull_mode=args.cull_mode,
+                       transmittance_math=args.transmittance_math,
+                       aa_mode=args.aa_mode)
     os.makedirs(args.output_dir, exist_ok=True)
     if args.render_batch > 1:
         from gsplat_tpu.viewer import make_batch_render_fn, render_trajectory

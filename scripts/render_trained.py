@@ -112,6 +112,17 @@ def main():
     p.add_argument("--render_batch", type=int, default=1,
                    help="poses rendered per launch via the shared-binning "
                         "batched path (1 = per-pose rendering)")
+    p.add_argument("--cull_mode", default="rect",
+                   choices=("rect", "ellipse"),
+                   help="tile culling granularity (ellipse: exact per-row "
+                        "intervals, fewer pairs, identical images)")
+    p.add_argument("--transmittance_math", default="log",
+                   choices=("log", "cumprod"))
+    p.add_argument("--aa_mode", default="none",
+                   choices=("none", "dilate", "mip"),
+                   help="screen-space antialiasing: 'dilate' adds the 0.3 px "
+                        "low-pass, 'mip' also energy-compensates opacity "
+                        "(Mip-Splatting Eq. 6)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -151,7 +162,9 @@ def main():
     )
 
     cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
-                       backend=args.backend)
+                       backend=args.backend, cull_mode=args.cull_mode,
+                       transmittance_math=args.transmittance_math,
+                       aa_mode=args.aa_mode)
     render_fn = make_render_fn(params, cfg, fx, fy, cx, cy, alive=alive)
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -32,6 +32,17 @@ def main():
     p.add_argument("--capacity", type=int, default=2**17,
                    help="gaussian pool capacity (static; ADC grows into it)")
     p.add_argument("--max_pairs", type=int, default=2**21)
+    p.add_argument("--cull_mode", default="rect",
+                   choices=("rect", "ellipse"),
+                   help="tile culling granularity (ellipse: exact per-row "
+                        "intervals, fewer pairs, identical images)")
+    p.add_argument("--transmittance_math", default="log",
+                   choices=("log", "cumprod"))
+    p.add_argument("--aa_mode", default="none",
+                   choices=("none", "dilate", "mip"),
+                   help="screen-space antialiasing: 'dilate' adds the 0.3 px "
+                        "low-pass, 'mip' also energy-compensates opacity "
+                        "(Mip-Splatting Eq. 6)")
     p.add_argument("--sh_bands", type=int, default=3, choices=(0, 1, 2, 3))
     p.add_argument("--position_lr_init", type=float, default=0.00016)
     p.add_argument("--position_lr_final", type=float, default=0.0000016)
@@ -100,6 +111,9 @@ def main():
         width=dataset.width,
         max_pairs=args.max_pairs,
         backend=args.backend,
+        cull_mode=args.cull_mode,
+        transmittance_math=args.transmittance_math,
+        aa_mode=args.aa_mode,
     )
     train_cfg = TrainConfig(
         iterations=args.iterations,

@@ -575,3 +575,26 @@ def test_batched_render_gauss_sharded_matches_scan():
     # ring + batched is explicitly unsupported.
     with pytest.raises(ValueError, match="ring"):
         make_gauss_sharded_train_step(CFG, tcfg_bat, mesh, ring=True)
+
+def test_ellipse_cull_sharded_step_matches_single_device():
+    """cull_mode="ellipse" under SPMD: same training step as the
+    single-device rect step (culled tiles carry zero alpha), with the
+    row-stage demand reported through the band metrics."""
+    ecfg = CFG.with_(cull_mode="ellipse")
+    pool = _pool()
+    batch = _batch(pool, b=4)
+
+    single = make_train_step(CFG, TCFG)
+    s1, m1 = single(init_train_state(_pool(), TCFG), batch)
+
+    mesh = make_mesh(n_devices=8, data=2, tile=4)
+    sharded = make_sharded_train_step(ecfg, TCFG, mesh)
+    d1, m2 = sharded(init_train_state(_pool(), TCFG), batch)
+
+    assert float(m1["total"]) == pytest.approx(float(m2["total"]), abs=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.pool.params["pos"]), np.asarray(d1.pool.params["pos"]),
+        atol=1e-6,
+    )
+    assert int(m2["row_demand"]) > 0
+    assert int(m2["row_demand"]) <= int(m2["row_capacity"])
