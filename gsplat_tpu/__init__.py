@@ -13,6 +13,17 @@ Public API parity with the reference package
 additions (RenderConfig, fused render_from_params, sharded training step).
 """
 
+import os as _os
+
+if _os.environ.get("GSPLAT_PLATFORM"):
+    # Env-var escape hatch for every CLI/script: some TPU plugins ignore
+    # JAX_PLATFORMS / JAX_PLATFORM_NAME and hang at backend init when the
+    # device link is down; jax.config is the only reliable selector. Must
+    # run before the first backend use (importing jax is fine).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GSPLAT_PLATFORM"])
+
 from .config import RenderConfig, TrainConfig  # noqa: F401
 from .ops import (  # noqa: F401
     HARMONICS,

@@ -679,6 +679,64 @@ def shard_train_state(state: TrainState, mesh: jax.sharding.Mesh) -> TrainState:
     return jax.tree.map(place, state)
 
 
+def make_sharded_batch_render(
+    render_cfg: RenderConfig, mesh: jax.sharding.Mesh
+):
+    """Data x band parallel inference: B poses -> [B, H, W, 3] images.
+
+    The multi-chip serving path (the reference's orbit/FPS loop,
+    /root/reference/scripts/render_trained.py:319-358, is single-GPU): the
+    pose batch is sharded over 'data' (frame throughput scales with the data
+    axis) and each frame is split into horizontal tile bands over 'tile'
+    (per-frame latency scales with the band axis). Each device renders its
+    local poses' bands through the shared-binning batched path — ONE sort +
+    ONE kernel launch per device per call — then bands all_gather along the
+    row axis. Results match per-pose single-device rendering exactly
+    (tests/test_sharding.py::test_sharded_batch_render_matches_single).
+
+    Returns fn(params, alive, c2w_b, fx, fy, cx, cy) with c2w_b [B, 4, 4],
+    B a multiple of the mesh's 'data' size, scalar shared intrinsics.
+    """
+    n_tile = mesh.shape[TILE_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    band_cfg, band_px = band_config(render_cfg, n_tile)
+
+    def device_fn(params, alive, c2w, fx, fy, cx, cy):
+        from ..render import render_batch_from_params
+
+        b = jax.lax.axis_index(TILE_AXIS)
+        cy_local = cy[0] - (b * band_px).astype(jnp.float32)
+        bands, _ = render_batch_from_params(
+            params, c2w, fx[0], fy[0], cx[0], cy_local, band_cfg,
+            alive=alive,
+        )  # [B_local, band_px(+pad), W, 3]
+        full = jax.lax.all_gather(bands, TILE_AXIS, axis=1, tiled=True)
+        return full[:, : render_cfg.height]
+
+    sharded = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(), P(), P(), P()),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def render_fn(params, alive, c2w_b, fx, fy, cx, cy):
+        if c2w_b.shape[0] % n_data:
+            raise ValueError(
+                f"pose batch {c2w_b.shape[0]} not divisible by the mesh's "
+                f"data axis ({n_data})"
+            )
+        return sharded(
+            params, alive, c2w_b,
+            jnp.atleast_1d(fx), jnp.atleast_1d(fy),
+            jnp.atleast_1d(cx), jnp.atleast_1d(cy),
+        )
+
+    return render_fn
+
+
 def make_sharded_render(render_cfg: RenderConfig, mesh: jax.sharding.Mesh):
     """Band-parallel inference renderer: (params, alive, camera) -> image."""
     n_tile = mesh.shape[TILE_AXIS]

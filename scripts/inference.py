@@ -64,6 +64,11 @@ def main():
                         "(Mip-Splatting Eq. 6)")
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
+    p.add_argument("--spmd", action="store_true",
+                   help="render over ALL devices: poses shard over the mesh "
+                        "'data' axis, frames split into --spmd_bands bands")
+    p.add_argument("--spmd_bands", type=int, default=1,
+                   help="tile-band ('tile' mesh axis) size under --spmd")
     p.add_argument("--render_batch", type=int, default=1,
                    help="poses rendered per launch via the shared-binning "
                         "batched path")
@@ -98,13 +103,39 @@ def main():
                        transmittance_math=args.transmittance_math,
                        aa_mode=args.aa_mode)
     os.makedirs(args.output_dir, exist_ok=True)
-    if args.render_batch > 1:
+    if args.render_batch > 1 or args.spmd:
         from gsplat_tpu.viewer import make_batch_render_fn, render_trajectory
 
-        batch_fn = make_batch_render_fn(
-            params, cfg, fx, fy, cx, cy, alive=alive,
-            batch=args.render_batch,
-        )
+        if args.spmd:
+            import jax
+            import jax.numpy as jnp
+
+            from gsplat_tpu.parallel import (
+                make_mesh,
+                make_sharded_batch_render,
+            )
+
+            mesh = make_mesh(tile=args.spmd_bands)
+            print(f"SPMD: mesh {dict(mesh.shape)} over "
+                  f"{len(jax.devices())} devices")
+            if args.render_batch == 1:
+                args.render_batch = mesh.shape["data"]
+            if args.render_batch % mesh.shape["data"]:
+                p.error("--render_batch must be a multiple of the mesh's "
+                        "data axis")
+            sfn = make_sharded_batch_render(cfg, mesh)
+            n_slots = params["pos"].shape[0]
+            alive_m = (jnp.ones((n_slots,), bool) if alive is None
+                       else jnp.asarray(alive))
+
+            def batch_fn(c2w_b):
+                return sfn(params, alive_m, jnp.asarray(c2w_b),
+                           fx, fy, cx, cy)
+        else:
+            batch_fn = make_batch_render_fn(
+                params, cfg, fx, fy, cx, cy, alive=alive,
+                batch=args.render_batch,
+            )
         frames, _ = render_trajectory(
             batch_fn, traj, benchmark=False, batch_size=args.render_batch
         )

@@ -112,6 +112,13 @@ def main():
     p.add_argument("--render_batch", type=int, default=1,
                    help="poses rendered per launch via the shared-binning "
                         "batched path (1 = per-pose rendering)")
+    p.add_argument("--spmd", action="store_true",
+                   help="render the orbit over ALL devices: poses shard "
+                        "over the mesh 'data' axis, each frame splits into "
+                        "--spmd_bands horizontal bands (requires "
+                        "--render_batch, a multiple of the data size)")
+    p.add_argument("--spmd_bands", type=int, default=1,
+                   help="tile-band ('tile' mesh axis) size under --spmd")
     p.add_argument("--cull_mode", default="rect",
                    choices=("rect", "ellipse"),
                    help="tile culling granularity (ellipse: exact per-row "
@@ -210,13 +217,37 @@ def main():
         elevation_deg=args.elevation,
     )
 
-    if args.render_batch > 1:
+    if args.render_batch > 1 or args.spmd:
         from gsplat_tpu.viewer import make_batch_render_fn
 
-        batch_fn = make_batch_render_fn(
-            params, cfg, fx, fy, cx, cy, alive=alive,
-            batch=args.render_batch,
-        )
+        if args.spmd:
+            import jax
+
+            from gsplat_tpu.parallel import (
+                make_mesh,
+                make_sharded_batch_render,
+            )
+
+            mesh = make_mesh(tile=args.spmd_bands)
+            print(f"SPMD orbit: mesh {dict(mesh.shape)} over "
+                  f"{len(jax.devices())} devices")
+            if args.render_batch == 1:
+                args.render_batch = mesh.shape["data"]
+            if args.render_batch % mesh.shape["data"]:
+                p.error("--render_batch must be a multiple of the mesh's "
+                        "data axis")
+            sfn = make_sharded_batch_render(cfg, mesh)
+            alive_m = (jnp.ones((n,), bool) if alive is None
+                       else jnp.asarray(alive))
+
+            def batch_fn(c2w_b):
+                return sfn(params, alive_m, jnp.asarray(c2w_b),
+                           fx, fy, cx, cy)
+        else:
+            batch_fn = make_batch_render_fn(
+                params, cfg, fx, fy, cx, cy, alive=alive,
+                batch=args.render_batch,
+            )
         frames, stats = render_trajectory(
             batch_fn, traj, batch_size=args.render_batch
         )

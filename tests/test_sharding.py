@@ -598,3 +598,44 @@ def test_ellipse_cull_sharded_step_matches_single_device():
     )
     assert int(m2["row_demand"]) > 0
     assert int(m2["row_demand"]) <= int(m2["row_capacity"])
+
+
+@pytest.mark.parametrize("data,tile", [(4, 2), (2, 1)])
+def test_sharded_batch_render_matches_single(data, tile):
+    """Data x band inference renderer == per-pose single-device rendering."""
+    from gsplat_tpu.parallel import make_sharded_batch_render
+
+    pool = _pool()
+    b = 2 * data  # two poses per data shard
+    c2ws = []
+    refs = []
+    for i in range(b):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = 0.12 * i
+        c2w[1, 3] = 0.05 * (i % 3)
+        img, _ = render_from_params(
+            pool.params, jnp.asarray(c2w), CAM["fx"], CAM["fy"], CAM["cx"],
+            CAM["cy"], CFG, alive=pool.alive,
+        )
+        c2ws.append(c2w)
+        refs.append(np.asarray(img))
+
+    mesh = make_mesh(n_devices=data * tile, data=data, tile=tile)
+    render_fn = make_sharded_batch_render(CFG, mesh)
+    imgs = render_fn(
+        pool.params, pool.alive, jnp.asarray(np.stack(c2ws)),
+        CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
+    )
+    assert imgs.shape == (b, CFG.height, CFG.width, 3)
+    np.testing.assert_allclose(
+        np.asarray(imgs), np.stack(refs), atol=1e-6
+    )
+
+    # Indivisible pose batches are rejected loudly.
+    if data > 1:
+        with pytest.raises(ValueError, match="divisible"):
+            render_fn(
+                pool.params, pool.alive,
+                jnp.asarray(np.stack(c2ws[: data + 1])),
+                CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
+            )
