@@ -205,12 +205,45 @@ def bench_checkpoint(path, height, width, iters):
         img, aux = fwd(pool.params, pool.alive)
     img.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
-    return {
+    out = {
         "fps_trained_ckpt": round(1.0 / dt, 3),
         "trained_ckpt_gaussians": n_alive,
         "trained_ckpt_pairs": int(aux.num_pairs),
         "trained_ckpt_pair_capacity": cfg.max_pairs,
     }
+    # A/B: exact ellipse-tile culling (cull_mode="ellipse") — same images,
+    # fewer pairs; reported so the round log captures whether the row-stage
+    # overhead pays for itself at this scale.
+    try:
+        # max_rows: the row-stage scatters cost O(static capacity), and the
+        # bench scene needs ~625k rows — 2^20 is 1.7x headroom at half the
+        # default cap/2 static cost (demand is reported if it overflows).
+        ecfg = cfg.with_(
+            cull_mode="ellipse", max_pairs=3 * 2**20, max_rows=2**20
+        )
+        efwd = jax.jit(
+            lambda p, a: render_from_params(
+                p, c2w, fx, fy, jnp.float32(width / 2),
+                jnp.float32(height / 2), ecfg, alive=a,
+            )
+        )
+        eimg, eaux = efwd(pool.params, pool.alive)
+        eimg.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            eimg, eaux = efwd(pool.params, pool.alive)
+        eimg.block_until_ready()
+        edt = (time.perf_counter() - t0) / iters
+        out.update({
+            "fps_trained_ckpt_ellipse": round(1.0 / edt, 3),
+            "trained_ckpt_pairs_ellipse": int(eaux.num_pairs),
+            "trained_ckpt_ellipse_img_err": round(
+                float(jnp.abs(eimg - img).max()), 8
+            ),
+        })
+    except Exception as e:  # never break the bench line
+        out["fps_trained_ckpt_ellipse_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 def bench_train_step(params, iters):
