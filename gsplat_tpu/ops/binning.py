@@ -368,29 +368,32 @@ def _expand_pairs_ellipse(proj: ProjectedGaussians, cfg: RenderConfig):
     # --- pairs stage: histogram + three delta channels, one cumsum ---
     packed = (txlo | (ty << _PACK_BITS)).astype(jnp.int32)
     pstarts = S2[:-1]  # [cap_r] first pair of each row
-    accP = jnp.zeros((4, cap + 1), jnp.int32)
-    accP = accP.at[0, jnp.clip(S2, 0, cap)].add(1)
-    accP = accP.at[1, pstarts].add(
+    # Three delta channels, ONE cumsum. (No boundary-count channel: when
+    # zero-length rows share a pstart with the owning row their deltas sum,
+    # and the telescoped cumsum still lands on the owner's value — the last
+    # row scattered at a given start is the one whose pairs begin there.)
+    accP = jnp.zeros((3, cap + 1), jnp.int32)
+    accP = accP.at[0, pstarts].add(
         jnp.concatenate([packed[:1], packed[1:] - packed[:-1]]), mode="drop"
     )
-    accP = accP.at[2, pstarts].add(
+    accP = accP.at[1, pstarts].add(
         jnp.concatenate([pstarts[:1], pstarts[1:] - pstarts[:-1]]),
         mode="drop",
     )
-    accP = accP.at[3, pstarts].add(
+    accP = accP.at[2, pstarts].add(
         jnp.concatenate([gslot[:1], gslot[1:] - gslot[:-1]]), mode="drop"
     )
     cumsP = jnp.cumsum(accP, axis=1)[:, :cap]
     p = jnp.arange(cap, dtype=jnp.int32)
     pair_ok = p < S2[-1]
-    packed_p = cumsP[1]
-    local = p - cumsP[2]  # x offset within the row interval
+    packed_p = cumsP[0]
+    local = p - cumsP[1]  # x offset within the row interval
     tx = (packed_p & _PACK_MASK) + local
     ty_p = (packed_p >> _PACK_BITS) & _PACK_MASK
     tile_id = jnp.where(
         pair_ok, (ty_p * cfg.tiles_x + tx).astype(jnp.int32), num_tiles
     )
-    slot = jnp.where(pair_ok, cumsP[3], -1)
+    slot = jnp.where(pair_ok, cumsP[2], -1)
 
     return {
         "n": n,
