@@ -147,15 +147,20 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
         | (jnp.maximum(n_u, 1) << (2 * _PACK_BITS))
     ).astype(jnp.int32)
     starts = offsets[:-1]
-    acc = jnp.zeros((3, cap + 1), jnp.int32)
-    acc = acc.at[0, jnp.clip(offsets, 0, cap)].add(1)
-    # mode='drop' discards deltas at positions >= cap (capacity overflow) —
-    # do NOT clip them in range, that would corrupt the last slot's value.
-    acc = acc.at[1, starts].add(
-        jnp.concatenate([packed[:1], packed[1:] - packed[:-1]]), mode="drop"
-    )
-    acc = acc.at[2, starts].add(
-        jnp.concatenate([starts[:1], starts[1:] - starts[:-1]]), mode="drop"
+    # ONE fused scatter for all three channels (shared index vector = one
+    # pass over the indices instead of three — scatters are index-rate
+    # bound). The delta channels originally scatter at starts = offsets[:-1];
+    # scattering at offsets with a trailing zero delta is identical (the
+    # extra add at offsets[-1] contributes 0). offsets <= cap by
+    # construction (overflow zeroes counts), so index cap stays in range.
+    zero1 = jnp.zeros((1,), jnp.int32)
+    acc = jnp.zeros((3, cap + 1), jnp.int32).at[:, offsets].add(
+        jnp.stack([
+            jnp.ones((n + 1,), jnp.int32),
+            jnp.concatenate([packed[:1], packed[1:] - packed[:-1], zero1]),
+            jnp.concatenate([starts[:1], starts[1:] - starts[:-1], zero1]),
+        ]),
+        mode="drop",
     )
     cums = jnp.cumsum(acc, axis=1)[:, :cap]
     slot = cums[0] - 1  # searchsorted(offsets, p, 'right') - 1, in [0, n]
@@ -299,10 +304,16 @@ def _expand_pairs_ellipse(proj: ProjectedGaussians, cfg: RenderConfig):
 
     r = jnp.arange(cap_r, dtype=jnp.int32)
     rstarts = row_off[:-1]
-    accR = jnp.zeros((2, cap_r + 1), jnp.int32)
-    accR = accR.at[0, jnp.clip(row_off, 0, cap_r)].add(1)
-    accR = accR.at[1, rstarts].add(
-        jnp.concatenate([rstarts[:1], rstarts[1:] - rstarts[:-1]]),
+    # ONE fused scatter for both channels (see the rect branch): the delta
+    # channel gains a harmless trailing zero so it shares row_off as index.
+    accR = jnp.zeros((2, cap_r + 1), jnp.int32).at[:, row_off].add(
+        jnp.stack([
+            jnp.ones((n + 1,), jnp.int32),
+            jnp.concatenate([
+                rstarts[:1], rstarts[1:] - rstarts[:-1],
+                jnp.zeros((1,), jnp.int32),
+            ]),
+        ]),
         mode="drop",
     )
     cumsR = jnp.cumsum(accR, axis=1)[:, :cap_r]
@@ -372,16 +383,13 @@ def _expand_pairs_ellipse(proj: ProjectedGaussians, cfg: RenderConfig):
     # zero-length rows share a pstart with the owning row their deltas sum,
     # and the telescoped cumsum still lands on the owner's value — the last
     # row scattered at a given start is the one whose pairs begin there.)
-    accP = jnp.zeros((3, cap + 1), jnp.int32)
-    accP = accP.at[0, pstarts].add(
-        jnp.concatenate([packed[:1], packed[1:] - packed[:-1]]), mode="drop"
-    )
-    accP = accP.at[1, pstarts].add(
-        jnp.concatenate([pstarts[:1], pstarts[1:] - pstarts[:-1]]),
+    accP = jnp.zeros((3, cap + 1), jnp.int32).at[:, pstarts].add(
+        jnp.stack([
+            jnp.concatenate([packed[:1], packed[1:] - packed[:-1]]),
+            jnp.concatenate([pstarts[:1], pstarts[1:] - pstarts[:-1]]),
+            jnp.concatenate([gslot[:1], gslot[1:] - gslot[:-1]]),
+        ]),
         mode="drop",
-    )
-    accP = accP.at[2, pstarts].add(
-        jnp.concatenate([gslot[:1], gslot[1:] - gslot[:-1]]), mode="drop"
     )
     cumsP = jnp.cumsum(accP, axis=1)[:, :cap]
     p = jnp.arange(cap, dtype=jnp.int32)
