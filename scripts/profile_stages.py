@@ -29,19 +29,50 @@ def timeit(fn, *args, iters=10):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cull_mode", default="rect",
+                    choices=("rect", "ellipse"))
+    ap.add_argument("--max_pairs", type=int, default=5 * 2**19)
+    ap.add_argument("--max_rows", type=int, default=0)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--checkpoint", default=None,
+                    help="profile a trained .npz pool instead of the "
+                         "synthetic scene")
+    args = ap.parse_args()
+
     n = 2**17
-    cfg = RenderConfig(height=1080, width=1920, max_pairs=5 * 2**19,
-                       max_per_tile=2048, tile_chunk=32)
+    cfg = RenderConfig(height=args.height, width=args.width,
+                       max_pairs=args.max_pairs,
+                       max_per_tile=2048, tile_chunk=32,
+                       cull_mode=args.cull_mode, max_rows=args.max_rows)
     params = make_scene(n)
-    c2w = jnp.eye(4)
-    fx = fy = jnp.float32(0.85 * 1920)
-    cx = jnp.float32(960.0)
-    cy = jnp.float32(540.0)
+    alive = None
+    if args.checkpoint:
+        from gsplat_tpu.train.trainer import restore_pool
+
+        pool = restore_pool(args.checkpoint)
+        params, alive = pool.params, pool.alive
+        n = params["pos"].shape[0]
+        from gsplat_tpu.viewer import estimate_scene_center_radius, look_at
+
+        pos = np.asarray(params["pos"])[np.asarray(alive)]
+        center, radius = estimate_scene_center_radius(positions=pos)
+        cam = center + np.array([0.0, -0.6 * radius, -4.4 * radius])
+        c2w = jnp.asarray(look_at(cam, center))
+    else:
+        c2w = jnp.eye(4)
+    fx = fy = jnp.float32(0.85 * args.width)
+    cx = jnp.float32(args.width / 2.0)
+    cy = jnp.float32(args.height / 2.0)
 
     cov_fn = jax.jit(lambda p: build_cov3d_packed(p["scale_raw"], p["q_raw"]))
     sh_fn = jax.jit(lambda p: evaluate_sh(p["f_dc"], p["f_rest"], p["pos"], c2w))
     proj_fn = jax.jit(lambda p, cov: project_gaussians(
-        p["pos"], cov, p["opacity_raw"], c2w, fx, fy, cx, cy, cfg))
+        p["pos"], cov, p["opacity_raw"], c2w, fx, fy, cx, cy, cfg,
+        extra_valid=alive))
     bin_fn = jax.jit(lambda pr: bin_gaussians(pr, cfg))
     rast_fn = jax.jit(lambda pr, col, b: rasterize_binned(pr, col, b, cfg))
 
@@ -60,7 +91,7 @@ def main():
         cov = build_cov3d_packed(p["scale_raw"], p["q_raw"])
         col = evaluate_sh(p["f_dc"], p["f_rest"], p["pos"], c2w)
         pr = project_gaussians(p["pos"], cov, p["opacity_raw"], c2w,
-                               fx, fy, cx, cy, cfg)
+                               fx, fy, cx, cy, cfg, extra_valid=alive)
         b = bin_gaussians(pr, cfg)
         f10 = _pair_features(pr, col, jnp.float32)[b.depth_order]
         return gather_pair_features(cfg.max_pairs, f10, b.pair_slot,
@@ -72,11 +103,11 @@ def main():
     )
     t_full_fwd, _ = timeit(
         jax.jit(lambda p: render_from_params(
-            p, c2w, fx, fy, cx, cy, cfg)[0].sum()), params
+            p, c2w, fx, fy, cx, cy, cfg, alive=alive)[0].sum()), params
     )
     t_full_bwd, _ = timeit(
         jax.jit(jax.grad(lambda p: render_from_params(
-            p, c2w, fx, fy, cx, cy, cfg)[0].sum())), params
+            p, c2w, fx, fy, cx, cy, cfg, alive=alive)[0].sum())), params
     )
 
     print(f"cov3d:     {t_cov*1e3:8.2f} ms")
