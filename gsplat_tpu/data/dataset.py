@@ -222,6 +222,7 @@ class GaussianDataset:
         shuffle: bool = True,
         seed: int = 0,
         mesh=None,
+        quantize: bool = False,
     ) -> Iterator[dict]:
         """Like `batches()` but with all views UPLOADED ONCE to the default
         device; each batch is a device-side gather (no per-step host->device
@@ -235,15 +236,24 @@ class GaussianDataset:
         per-step upload; VERDICT r2 Weak #4).
 
         Memory: num_views * H * W * 3 * 4 bytes of HBM (per device when
-        replicated over a mesh). Callers should fall back to `batches()`
-        when that exceeds their budget (fit() does this automatically above
-        its device_cache_bytes threshold).
+        replicated over a mesh), or 1/4 of that with ``quantize=True``,
+        which stores the cache as uint8 and dequantizes after the batch
+        gather. Quantization is LOSSLESS for unrescaled datasets (sources
+        are 8-bit images); with a fractional scale_factor the bilinear
+        rescale's sub-8-bit fractions are rounded (<= 1/510 per channel).
+        Callers should fall back to `batches()` when even that exceeds
+        their budget (fit() walks the f32 -> u8 -> host tiers
+        automatically under its device_cache_bytes threshold).
         """
         import jax
         import jax.numpy as jnp
 
         n = len(self)
         imgs_np = np.stack([self[i]["image"] for i in range(n)])
+        if quantize:
+            imgs_np = np.clip(
+                imgs_np * 255.0 + 0.5, 0.0, 255.0
+            ).astype(np.uint8)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -278,8 +288,11 @@ class GaussianDataset:
                 idx.append(int(order[pos]))
                 pos += 1
             sel = np.asarray(idx)
+            batch_img = gather(imgs, sel)
+            if quantize:
+                batch_img = batch_img.astype(jnp.float32) * (1.0 / 255.0)
             yield {
-                "image": gather(imgs, sel),
+                "image": batch_img,
                 "c2w": gather(c2ws, sel),
                 "fx": fx,
                 "fy": fy,
@@ -287,9 +300,10 @@ class GaussianDataset:
                 "cy": cy,
             }
 
-    def size_bytes(self) -> int:
-        """Approximate device footprint of the full image set."""
-        return len(self) * self.height * self.width * 3 * 4
+    def size_bytes(self, bytes_per_channel: int = 4) -> int:
+        """Approximate device footprint of the full image set
+        (bytes_per_channel=1 for the quantized uint8 cache)."""
+        return len(self) * self.height * self.width * 3 * bytes_per_channel
 
     def prefetched_batches(
         self,

@@ -160,16 +160,22 @@ def fit(
         device_cache_bytes
         and hasattr(dataset, "device_batches")
         and hasattr(dataset, "size_bytes")
-        and dataset.size_bytes() <= device_cache_bytes
+        and dataset.size_bytes(1) <= device_cache_bytes
     ):
+        # Cache tiers: full f32 when it fits, else the uint8 cache (1/4 the
+        # HBM; dequantized after the batch gather — lossless for unrescaled
+        # 8-bit sources, <=1/510-per-channel rounding after bilinear
+        # rescale), else per-step host uploads.
+        quantize = dataset.size_bytes() > device_cache_bytes
         log_fn(
             f"device-caching {len(dataset)} views "
-            f"({dataset.size_bytes() / 1e6:.0f} MB"
+            f"({dataset.size_bytes(1 if quantize else 4) / 1e6:.0f} MB"
+            + (", uint8-quantized" if quantize else "")
             + (f", replicated over {mesh.devices.size} devices)"
                if mesh is not None else ")")
         )
         batches = dataset.device_batches(
-            train_cfg.batch_size, seed=seed, mesh=mesh
+            train_cfg.batch_size, seed=seed, mesh=mesh, quantize=quantize
         )
     else:
         batches = dataset.batches(train_cfg.batch_size, seed=seed)

@@ -375,6 +375,25 @@ def test_device_batches_matches_host_batches(tmp_path):
     assert ds.size_bytes() == len(ds) * ds.height * ds.width * 12
 
 
+def test_device_batches_quantized(tmp_path):
+    """The uint8 cache tier is an exact roundtrip for unrescaled 8-bit
+    sources and reports 1/4 the footprint."""
+    d = _make_dataset_dir(tmp_path)
+    ds = GaussianDataset(d, scale_factor=1.0)
+    host = ds.batches(batch_size=2, seed=7)
+    dev = ds.device_batches(batch_size=2, seed=7, quantize=True)
+    for _ in range(3):
+        a = next(host)
+        b = next(dev)
+        img = np.asarray(b["image"])
+        assert img.dtype == np.float32
+        # Sources are 8-bit PNGs and scale_factor=1: u8 roundtrip is exact
+        # up to the /255 float rounding.
+        np.testing.assert_allclose(img, a["image"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b["c2w"]), a["c2w"])
+    assert ds.size_bytes(1) * 4 == ds.size_bytes()
+
+
 def test_holdout_split(tmp_path):
     """llffhold protocol: every Nth view goes to the test split; train and
     test partition the dataset with consistent poses."""
