@@ -28,6 +28,7 @@ def evaluate_views(
     cfg: RenderConfig,
     alive=None,
     render_batch: int = 1,
+    mesh=None,
 ) -> dict:
     """Render each view and compare to ground truth.
 
@@ -37,20 +38,38 @@ def evaluate_views(
         render_batch: views rendered per launch through the shared-binning
             batched path (identical images to per-view rendering up to the
             last ulp; the last chunk pads by repeating the final view).
+        mesh: optional ('data', 'tile') device mesh — each launch shards its
+            views over 'data' and splits frames into tile bands over 'tile'
+            (parallel.make_sharded_batch_render). render_batch must be a
+            multiple of the mesh's data size (defaults to it when 1).
 
     Returns:
         dict with per-view and mean psnr/ssim/l1.
     """
     imgs = []
+    if mesh is not None and render_batch == 1:
+        render_batch = mesh.shape["data"]
     if render_batch > 1:
         from .render import render_batch_from_params
 
-        @jax.jit
-        def render_chunk(c2w, fx, fy, cx, cy):
-            out, _ = render_batch_from_params(
-                params, c2w, fx, fy, cx, cy, cfg, alive=alive
-            )
-            return out
+        if mesh is not None:
+            from .parallel import make_sharded_batch_render
+
+            sfn = make_sharded_batch_render(cfg, mesh)
+            n_slots = params["pos"].shape[0]
+            alive_m = (jnp.ones((n_slots,), bool) if alive is None
+                       else jnp.asarray(alive))
+
+            def render_chunk(c2w, fx, fy, cx, cy):
+                return sfn(params, alive_m, c2w, fx, fy, cx, cy)
+        else:
+
+            @jax.jit
+            def render_chunk(c2w, fx, fy, cx, cy):
+                out, _ = render_batch_from_params(
+                    params, c2w, fx, fy, cx, cy, cfg, alive=alive
+                )
+                return out
 
         B = render_batch
         for s in range(0, len(views), B):

@@ -695,7 +695,8 @@ def make_sharded_batch_render(
     (tests/test_sharding.py::test_sharded_batch_render_matches_single).
 
     Returns fn(params, alive, c2w_b, fx, fy, cx, cy) with c2w_b [B, 4, 4],
-    B a multiple of the mesh's 'data' size, scalar shared intrinsics.
+    B a multiple of the mesh's 'data' size; intrinsics may be scalars
+    (shared) or per-view [B] arrays.
     """
     n_tile = mesh.shape[TILE_AXIS]
     n_data = mesh.shape[DATA_AXIS]
@@ -705,9 +706,9 @@ def make_sharded_batch_render(
         from ..render import render_batch_from_params
 
         b = jax.lax.axis_index(TILE_AXIS)
-        cy_local = cy[0] - (b * band_px).astype(jnp.float32)
+        cy_local = cy - (b * band_px).astype(jnp.float32)
         bands, _ = render_batch_from_params(
-            params, c2w, fx[0], fy[0], cx[0], cy_local, band_cfg,
+            params, c2w, fx, fy, cx, cy_local, band_cfg,
             alive=alive,
         )  # [B_local, band_px(+pad), W, 3]
         full = jax.lax.all_gather(bands, TILE_AXIS, axis=1, tiled=True)
@@ -716,22 +717,27 @@ def make_sharded_batch_render(
     sharded = jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
         check_vma=False,
     )
 
     @jax.jit
     def render_fn(params, alive, c2w_b, fx, fy, cx, cy):
-        if c2w_b.shape[0] % n_data:
+        B = c2w_b.shape[0]
+        if B % n_data:
             raise ValueError(
-                f"pose batch {c2w_b.shape[0]} not divisible by the mesh's "
+                f"pose batch {B} not divisible by the mesh's "
                 f"data axis ({n_data})"
             )
+
+        def bc(x):
+            x = jnp.asarray(x, jnp.float32)
+            return jnp.broadcast_to(x, (B,)) if x.ndim == 0 else x
+
         return sharded(
-            params, alive, c2w_b,
-            jnp.atleast_1d(fx), jnp.atleast_1d(fy),
-            jnp.atleast_1d(cx), jnp.atleast_1d(cy),
+            params, alive, c2w_b, bc(fx), bc(fy), bc(cx), bc(cy)
         )
 
     return render_fn

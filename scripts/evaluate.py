@@ -43,6 +43,11 @@ def main():
     p.add_argument("--render_batch", type=int, default=1,
                    help="views rendered per launch via the shared-binning "
                         "batched path")
+    p.add_argument("--spmd", action="store_true",
+                   help="evaluate over ALL devices (views shard over the "
+                        "mesh 'data' axis, frames split into --spmd_bands)")
+    p.add_argument("--spmd_bands", type=int, default=1,
+                   help="tile-band ('tile' mesh axis) size under --spmd")
     args = p.parse_args()
 
     from render_trained import load_params, resolve_checkpoint
@@ -64,8 +69,15 @@ def main():
                        aa_mode=args.aa_mode)
     n = len(ds) if args.max_views is None else min(len(ds), args.max_views)
     views = [ds[i] for i in range(n)]
+    mesh = None
+    if args.spmd:
+        from gsplat_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tile=args.spmd_bands)
+        print(f"SPMD evaluation: mesh {dict(mesh.shape)}")
     result = evaluate_views(
-        params, views, cfg, alive=alive, render_batch=args.render_batch
+        params, views, cfg, alive=alive, render_batch=args.render_batch,
+        mesh=mesh,
     )
     if args.json:
         print(json.dumps(result))

@@ -639,3 +639,29 @@ def test_sharded_batch_render_matches_single(data, tile):
                 jnp.asarray(np.stack(c2ws[: data + 1])),
                 CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
             )
+
+
+def test_evaluate_views_spmd_matches_single():
+    """evaluate_views(mesh=...) must reproduce the single-device metrics."""
+    from gsplat_tpu.evaluation import evaluate_views
+
+    pool = _pool()
+    target = dict(pool.params)
+    target["f_dc"] = target["f_dc"] + 0.3
+    views = []
+    for i in range(4):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = 0.1 * i
+        img, _ = render_from_params(
+            target, jnp.asarray(c2w), CAM["fx"], CAM["fy"], CAM["cx"],
+            CAM["cy"], CFG, alive=pool.alive,
+        )
+        views.append({"image": np.asarray(img), "c2w": c2w, **CAM})
+
+    ref = evaluate_views(pool.params, views, CFG, alive=pool.alive)
+    mesh = make_mesh(n_devices=8, data=4, tile=2)
+    out = evaluate_views(pool.params, views, CFG, alive=pool.alive,
+                         mesh=mesh)
+    assert out["num_views"] == ref["num_views"] == 4
+    np.testing.assert_allclose(out["psnr"], ref["psnr"], rtol=1e-4)
+    np.testing.assert_allclose(out["ssim"], ref["ssim"], rtol=1e-4)
