@@ -15,6 +15,19 @@ from __future__ import annotations
 import dataclasses
 
 
+def parse_background(s: str) -> tuple:
+    """CLI background spec -> RGB tuple: 'black', 'white', or 'r,g,b'."""
+    named = {"black": (0.0, 0.0, 0.0), "white": (1.0, 1.0, 1.0)}
+    if s in named:
+        return named[s]
+    parts = tuple(float(x) for x in s.split(","))
+    if len(parts) != 3:
+        raise ValueError(
+            f"background must be 'black', 'white' or 'r,g,b' — got {s!r}"
+        )
+    return parts
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -68,6 +81,12 @@ class RenderConfig:
     #              sub-pixel splats don't gain energy when dilated.
     aa_mode: str = "none"
     aa_dilation: float = 0.3
+    # Solid background color composited where transmittance remains
+    # (img += T_final * bg). Default black = exact reference behavior
+    # (render.py:404-410 composites over zeros). Differentiable w.r.t. the
+    # gaussians through the alpha plane; white = (1.0, 1.0, 1.0) for
+    # Blender-style datasets.
+    background: tuple = (0.0, 0.0, 0.0)
     # Transmittance math inside the default aligned Pallas kernel
     # (raster_pallas fwd + bwd; the mega/seg variants always use "log"):
     #   "log"     — T = exp(cumsum(log1p(-alpha))) via the MXU triangular

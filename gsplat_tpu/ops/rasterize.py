@@ -491,13 +491,26 @@ def rasterize(proj: ProjectedGaussians, colors: jnp.ndarray, cfg: RenderConfig):
     backend = resolve_backend(cfg)
     if backend == "pallas_seg":
         binning = bin_gaussians_compact(proj, cfg)
-        return rasterize_binned_seg(proj, colors, binning, cfg)
-    binning = bin_gaussians(proj, cfg)
-    if backend == "pallas_mega":
-        return rasterize_binned_pallas(proj, colors, binning, cfg, mega=True)
-    if backend == "pallas":
-        return rasterize_binned_pallas(proj, colors, binning, cfg)
-    return rasterize_binned_xla(proj, colors, binning, cfg)
+        out = rasterize_binned_seg(proj, colors, binning, cfg)
+    else:
+        binning = bin_gaussians(proj, cfg)
+        if backend == "pallas_mega":
+            out = rasterize_binned_pallas(proj, colors, binning, cfg,
+                                          mega=True)
+        elif backend == "pallas":
+            out = rasterize_binned_pallas(proj, colors, binning, cfg)
+        else:
+            out = rasterize_binned_xla(proj, colors, binning, cfg)
+    if cfg.background != (0.0, 0.0, 0.0):
+        # Composite over a solid background (Blender-style white-bg scenes;
+        # beyond reference parity — it composites over black only,
+        # render.py:404-410). Differentiable: the alpha plane rides the
+        # kernels' hand-written VJP like the color planes.
+        img, aux = out
+        bg = jnp.asarray(cfg.background, img.dtype)
+        img = img + (1.0 - aux.alpha)[..., None] * bg
+        out = (img, aux)
+    return out
 
 
 def rasterize_dense(

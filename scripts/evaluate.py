@@ -32,6 +32,9 @@ def main():
                         "intervals, fewer pairs, identical images)")
     p.add_argument("--transmittance_math", default="log",
                    choices=("log", "cumprod"))
+    p.add_argument("--background", default="black",
+                   help="render background: 'black' (reference parity), "
+                        "'white' (Blender-style), or 'r,g,b'")
     p.add_argument("--aa_mode", default="none",
                    choices=("none", "dilate", "mip"),
                    help="screen-space antialiasing: 'dilate' adds the 0.3 px "
@@ -53,6 +56,7 @@ def main():
     from render_trained import load_params, resolve_checkpoint
 
     from gsplat_tpu import RenderConfig
+    from gsplat_tpu.config import parse_background
     from gsplat_tpu.data import GaussianDataset
     from gsplat_tpu.evaluation import evaluate_views
 
@@ -66,7 +70,8 @@ def main():
                        max_pairs=args.max_pairs, backend=args.backend,
                        cull_mode=args.cull_mode,
                        transmittance_math=args.transmittance_math,
-                       aa_mode=args.aa_mode)
+                       aa_mode=args.aa_mode,
+                       background=parse_background(args.background))
     n = len(ds) if args.max_views is None else min(len(ds), args.max_views)
     views = [ds[i] for i in range(n)]
     mesh = None

@@ -57,6 +57,9 @@ def main():
                         "intervals, fewer pairs, identical images)")
     p.add_argument("--transmittance_math", default="log",
                    choices=("log", "cumprod"))
+    p.add_argument("--background", default="black",
+                   help="render background: 'black' (reference parity), "
+                        "'white' (Blender-style), or 'r,g,b'")
     p.add_argument("--aa_mode", default="none",
                    choices=("none", "dilate", "mip"),
                    help="screen-space antialiasing: 'dilate' adds the 0.3 px "
@@ -77,6 +80,7 @@ def main():
     from render_trained import load_params, resolve_checkpoint
 
     from gsplat_tpu import RenderConfig
+    from gsplat_tpu.config import parse_background
     from gsplat_tpu.data.images import save_image
     from gsplat_tpu.viewer import make_render_fn
 
@@ -101,7 +105,8 @@ def main():
     cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
                        backend=args.backend, cull_mode=args.cull_mode,
                        transmittance_math=args.transmittance_math,
-                       aa_mode=args.aa_mode)
+                       aa_mode=args.aa_mode,
+                       background=parse_background(args.background))
     os.makedirs(args.output_dir, exist_ok=True)
     if args.render_batch > 1 or args.spmd:
         from gsplat_tpu.viewer import make_batch_render_fn, render_trajectory

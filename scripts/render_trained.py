@@ -125,6 +125,9 @@ def main():
                         "intervals, fewer pairs, identical images)")
     p.add_argument("--transmittance_math", default="log",
                    choices=("log", "cumprod"))
+    p.add_argument("--background", default="black",
+                   help="render background: 'black' (reference parity), "
+                        "'white' (Blender-style), or 'r,g,b'")
     p.add_argument("--aa_mode", default="none",
                    choices=("none", "dilate", "mip"),
                    help="screen-space antialiasing: 'dilate' adds the 0.3 px "
@@ -135,6 +138,7 @@ def main():
     import jax.numpy as jnp
 
     from gsplat_tpu import RenderConfig
+    from gsplat_tpu.config import parse_background
     from gsplat_tpu.viewer import (
         create_orbit_trajectory,
         estimate_scene_center_radius,
@@ -171,7 +175,8 @@ def main():
     cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
                        backend=args.backend, cull_mode=args.cull_mode,
                        transmittance_math=args.transmittance_math,
-                       aa_mode=args.aa_mode)
+                       aa_mode=args.aa_mode,
+                       background=parse_background(args.background))
     render_fn = make_render_fn(params, cfg, fx, fy, cx, cy, alive=alive)
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -38,6 +38,9 @@ def main():
                         "intervals, fewer pairs, identical images)")
     p.add_argument("--transmittance_math", default="log",
                    choices=("log", "cumprod"))
+    p.add_argument("--background", default="black",
+                   help="render background: 'black' (reference parity), "
+                        "'white' (Blender-style), or 'r,g,b'")
     p.add_argument("--aa_mode", default="none",
                    choices=("none", "dilate", "mip"),
                    help="screen-space antialiasing: 'dilate' adds the 0.3 px "
@@ -93,6 +96,7 @@ def main():
     import jax
 
     from gsplat_tpu import RenderConfig, TrainConfig
+    from gsplat_tpu.config import parse_background
     from gsplat_tpu.data import GaussianDataset
     from gsplat_tpu.train.fit import fit
 
@@ -114,6 +118,7 @@ def main():
         cull_mode=args.cull_mode,
         transmittance_math=args.transmittance_math,
         aa_mode=args.aa_mode,
+        background=parse_background(args.background),
     )
     train_cfg = TrainConfig(
         iterations=args.iterations,

@@ -204,3 +204,62 @@ def test_antialiasing_modes():
         )[0].sum()
     )(params)
     assert all(bool(jnp.isfinite(v).all()) for v in g.values())
+
+
+def test_background_compositing():
+    """cfg.background composites bg where transmittance remains:
+    img_bg == img_black + (1 - alpha) * bg, empty scenes render solid bg,
+    and gradients flow through the alpha plane."""
+    import jax
+
+    from gsplat_tpu import RenderConfig, render_from_params
+
+    rng = np.random.default_rng(11)
+    n = 200
+    params = {
+        "pos": jnp.asarray(
+            np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1.5, 1.5, n),
+                      rng.uniform(3, 6, n)], -1), jnp.float32
+        ),
+        "scale_raw": jnp.asarray(rng.normal(0, 0.3, (n, 3)) - 2.5,
+                                 jnp.float32),
+        "q_raw": jnp.asarray(rng.normal(0, 1, (n, 4)) + [0, 0, 0, 2.0],
+                             jnp.float32),
+        "opacity_raw": jnp.asarray(rng.normal(0.5, 1.0, n), jnp.float32),
+        "f_dc": jnp.asarray(rng.uniform(0.2, 0.8, (n, 3)), jnp.float32),
+        "f_rest": jnp.asarray(np.zeros((n, 45), np.float32)),
+    }
+    c2w = jnp.eye(4)
+    base = dict(height=96, width=96, max_pairs=2**13, max_per_tile=256,
+                backend="xla")
+    black, aux = render_from_params(
+        params, c2w, 90.0, 90.0, 48.0, 48.0, RenderConfig(**base)
+    )
+    bg = (0.2, 0.5, 1.0)
+    cfg_bg = RenderConfig(background=bg, **base)
+    tinted, _ = render_from_params(params, c2w, 90.0, 90.0, 48.0, 48.0,
+                                   cfg_bg)
+    expect = np.asarray(black) + (
+        1.0 - np.asarray(aux.alpha)
+    )[..., None] * np.asarray(bg, np.float32)
+    np.testing.assert_allclose(np.asarray(tinted), expect, atol=1e-6)
+
+    # Empty scene -> solid background.
+    dead = dict(params)
+    dead["opacity_raw"] = jnp.full((n,), -50.0)
+    white, _ = render_from_params(
+        dead, c2w, 90.0, 90.0, 48.0, 48.0,
+        RenderConfig(background=(1.0, 1.0, 1.0), **base),
+    )
+    np.testing.assert_allclose(np.asarray(white), 1.0, atol=1e-6)
+
+    # Differentiable: a white background penalizes transparency, so
+    # opacity gradients must be nonzero and finite.
+    g = jax.grad(
+        lambda p: render_from_params(
+            p, c2w, 90.0, 90.0, 48.0, 48.0,
+            RenderConfig(background=(1.0, 1.0, 1.0), **base),
+        )[0].sum()
+    )(params)
+    assert all(bool(jnp.isfinite(v).all()) for v in g.values())
+    assert float(jnp.abs(g["opacity_raw"]).max()) > 0
