@@ -39,6 +39,7 @@ from .ops import (  # noqa: F401
 )
 from .render import (  # noqa: F401
     render,
+    pair_demand,
     render_batch_from_params,
     render_from_params,
 )

@@ -75,6 +75,36 @@ def _render_jit(pos, color, opacity_raw, cov3d, c2w, fx, fy, cx, cy, cfg):
     return rasterize(proj, color, cfg)
 
 
+def pair_demand(
+    params: dict,
+    c2w: jnp.ndarray,
+    fx,
+    fy,
+    cx,
+    cy,
+    cfg: RenderConfig,
+    alive: jnp.ndarray | None = None,
+):
+    """True (pair, row) demand of a view — projection + binning only.
+
+    A cheap-to-compile probe (no rasterization kernel) for demand-driven
+    capacity sizing: `TileBinning.num_pairs`/`num_rows` report the TRUE
+    demand even when it exceeds cfg's static capacities, so callers can
+    probe with a generous cfg and then rebuild a right-sized one (see
+    render_trained.py --auto_pairs; fit() does the same reactively from
+    step metrics).
+    """
+    from .ops.binning import bin_gaussians
+
+    cov3d = build_cov3d_packed(params["scale_raw"], params["q_raw"])
+    proj = project_gaussians(
+        params["pos"], cov3d, params["opacity_raw"], c2w, fx, fy, cx, cy,
+        cfg, extra_valid=alive,
+    )
+    binning = bin_gaussians(proj, cfg)
+    return binning.num_pairs, binning.num_rows
+
+
 def render_from_params(
     params: dict,
     c2w: jnp.ndarray,

@@ -119,6 +119,11 @@ def main():
                         "--render_batch, a multiple of the data size)")
     p.add_argument("--spmd_bands", type=int, default=1,
                    help="tile-band ('tile' mesh axis) size under --spmd")
+    p.add_argument("--auto_pairs", action="store_true",
+                   help="probe the orbit's true pair demand (binning-only "
+                        "graph) and shrink max_pairs/max_rows to demand "
+                        "+20%% before rendering — --max_pairs becomes the "
+                        "probe upper bound")
     p.add_argument("--cull_mode", default="rect",
                    choices=("rect", "ellipse"),
                    help="tile culling granularity (ellipse: exact per-row "
@@ -177,6 +182,45 @@ def main():
                        transmittance_math=args.transmittance_math,
                        aa_mode=args.aa_mode,
                        background=parse_background(args.background))
+
+    if args.auto_pairs:
+        # Demand-driven capacity: probe the orbit's true pair demand with a
+        # binning-only graph (cheap compile, no kernel), then shrink the
+        # static capacities to demand + 20% — every pairs-sized sort /
+        # gather / kernel launch then runs at the workload's actual size
+        # instead of the CLI upper bound.
+        import jax
+
+        from gsplat_tpu import pair_demand
+        from gsplat_tpu.viewer import (
+            create_orbit_trajectory as _orbit,
+            estimate_scene_center_radius as _cr,
+        )
+
+        _center, _radius = _cr(
+            c2w_matrices=c2ws,
+            positions=np.asarray(params["pos"])[: n_alive],
+        )
+        probe_traj = _orbit(_center, _radius,
+                            num_frames=min(args.num_frames, 16),
+                            elevation_deg=args.elevation)
+        probe = jax.jit(lambda c: pair_demand(
+            params, c, fx, fy, cx, cy, cfg, alive=alive))
+        demands = [
+            tuple(int(x) for x in probe(jnp.asarray(c)))
+            for c in probe_traj
+        ]
+        pk = max(d[0] for d in demands)
+        rk = max(d[1] for d in demands)
+        new_pairs = max(4096, -(-int(pk * 1.2) // 4096) * 4096)
+        kw = {"max_pairs": new_pairs}
+        if cfg.cull_mode == "ellipse":
+            kw["max_rows"] = max(4096, -(-int(rk * 1.2) // 4096) * 4096)
+        print(f"auto_pairs: demand {pk} pairs"
+              + (f" / {rk} rows" if cfg.cull_mode == "ellipse" else "")
+              + f" -> capacities {kw}")
+        cfg = cfg.with_(**kw)
+
     render_fn = make_render_fn(params, cfg, fx, fy, cx, cy, alive=alive)
 
     os.makedirs(args.output_dir, exist_ok=True)
