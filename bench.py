@@ -243,6 +243,32 @@ def bench_checkpoint(path, height, width, iters):
         })
     except Exception as e:  # never break the bench line
         out["fps_trained_ckpt_ellipse_error"] = f"{type(e).__name__}: {e}"[:200]
+    # Demand-sized capacity (the deployed configuration: render_trained.py
+    # --auto_pairs probes demand and right-sizes the static capacities, so
+    # every pairs-sized sort/gather/launch runs at workload size). The
+    # fixed-capacity number above stays the round-over-round comparable.
+    try:
+        demand = int(aux.num_pairs)
+        scfg = cfg.with_(max_pairs=max(4096, -(-int(demand * 1.2) // 4096) * 4096))
+        sfwd = jax.jit(
+            lambda p, a: render_from_params(
+                p, c2w, fx, fy, jnp.float32(width / 2),
+                jnp.float32(height / 2), scfg, alive=a,
+            )
+        )
+        simg, saux = sfwd(pool.params, pool.alive)
+        simg.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            simg, saux = sfwd(pool.params, pool.alive)
+        simg.block_until_ready()
+        sdt = (time.perf_counter() - t0) / iters
+        out.update({
+            "fps_trained_ckpt_sized": round(1.0 / sdt, 3),
+            "trained_ckpt_sized_capacity": scfg.max_pairs,
+        })
+    except Exception as e:
+        out["fps_trained_ckpt_sized_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
