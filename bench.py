@@ -479,4 +479,30 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_WATCHDOG", "1") != "0":
+        # Self-watchdog: the axon plugin HANGS at backend init when the TPU
+        # tunnel is down (no error, no timeout). Run the real bench in a
+        # child so the driver always gets ONE JSON line — a real result, or
+        # an explicit error record if the device never answers.
+        env = dict(os.environ, BENCH_WATCHDOG="0")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=env,
+                timeout=float(os.environ.get("BENCH_TIMEOUT", "2700")),
+            )
+            sys.exit(r.returncode)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({
+                "metric": "render_fps_1080p", "value": 0.0, "unit": "fps",
+                "vs_baseline": 0.0,
+                "error": "bench watchdog timeout — TPU tunnel "
+                         "unresponsive (backend init hang); see BASELINE.md "
+                         "for the last good measurements",
+            }))
+            sys.exit(0)
     main()
