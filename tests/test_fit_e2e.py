@@ -270,12 +270,29 @@ def test_fit_sharded_device_cache_matches_host_batches(tmp_path):
         GaussianDataset(d, scale_factor=1.0), render_cfg, train_cfg,
         mesh=mesh, device_cache_bytes=0, log_every=4, log_fn=lambda s: None,
     )
+    # uint8 cache tier under the mesh: a budget between the u8 and f32
+    # footprints forces quantization — LOSSLESS here (unrescaled 8-bit
+    # sources), so the run must still match the host-batches run.
+    ds_q = GaussianDataset(d, scale_factor=1.0)
+    logs_q = []
+    state_q, _ = fit(
+        ds_q, render_cfg, train_cfg, mesh=mesh,
+        device_cache_bytes=ds_q.size_bytes(1) + 1,
+        log_every=4, log_fn=logs_q.append,
+    )
+    assert any("uint8-quantized" in m for m in logs_q), logs_q
     for k in state_cached.pool.params:
         np.testing.assert_allclose(
             np.asarray(state_cached.pool.params[k]),
             np.asarray(state_host.pool.params[k]),
             atol=1e-6,
             err_msg=f"param[{k}]",
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_q.pool.params[k]),
+            np.asarray(state_host.pool.params[k]),
+            atol=1e-6,
+            err_msg=f"quantized param[{k}]",
         )
 
 
