@@ -131,8 +131,21 @@ def grad_parity_err():
 
 DEFAULT_CKPT = "bench_assets/trained_ckpt.npz"
 
-# v5e HBM bandwidth (speed-of-light denominator for the roofline model).
-HBM_BYTES_PER_S = 819e9
+# HBM bandwidth by TPU generation (speed-of-light denominator for the
+# roofline model); generation read from the runtime env when available.
+_HBM_BY_GEN = {
+    "v4": 1228e9, "v5e": 819e9, "v5p": 2765e9, "v6e": 1640e9,
+}
+
+
+def _hbm_bytes_per_s():
+    import os
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    return _HBM_BY_GEN.get(gen, 819e9)
+
+
+HBM_BYTES_PER_S = _hbm_bytes_per_s()
 
 
 def roofline_forward(cfg, n_gaussians, measured_s):
