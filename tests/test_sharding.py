@@ -71,15 +71,17 @@ def test_requires_8_devices():
     assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
 
 
-@pytest.mark.parametrize("tile", [2, 4])
-def test_band_sharded_render_matches_single_device(tile):
+@pytest.mark.parametrize("tile,cull", [(2, "rect"), (4, "rect"),
+                                       (2, "ellipse")])
+def test_band_sharded_render_matches_single_device(tile, cull):
     pool = _pool()
+    cfg = CFG.with_(cull_mode=cull)
     img_ref, _ = render_from_params(
         pool.params, jnp.eye(4), CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
-        CFG, alive=pool.alive,
+        cfg, alive=pool.alive,
     )
     mesh = make_mesh(n_devices=tile, data=1, tile=tile)
-    render_fn = make_sharded_render(CFG, mesh)
+    render_fn = make_sharded_render(cfg, mesh)
     img = render_fn(
         pool.params, pool.alive, jnp.eye(4),
         CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
