@@ -190,11 +190,13 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     x0g = tile_min[:, 0]
     y1g = y0g + n_v  # exclusive
     x1g = x0g + n_u
-    grid2 = jnp.zeros((cfg.tiles_y + 1, cfg.tiles_x + 1), jnp.int32)
-    grid2 = grid2.at[y0g, x0g].add(one, mode="drop")
-    grid2 = grid2.at[y0g, x1g].add(-one, mode="drop")
-    grid2 = grid2.at[y1g, x0g].add(-one, mode="drop")
-    grid2 = grid2.at[y1g, x1g].add(one, mode="drop")
+    # ONE scatter for all four signed corners: four separate .add calls
+    # form a strictly dependent chain (each reads the previous output);
+    # concatenated indices let XLA process them as a single pass.
+    grid2 = jnp.zeros((cfg.tiles_y + 1, cfg.tiles_x + 1), jnp.int32).at[
+        jnp.concatenate([y0g, y0g, y1g, y1g]),
+        jnp.concatenate([x0g, x1g, x0g, x1g]),
+    ].add(jnp.concatenate([one, -one, -one, one]), mode="drop")
     cnt2d = jnp.cumsum(jnp.cumsum(grid2, axis=0), axis=1)
     tile_count = cnt2d[: cfg.tiles_y, : cfg.tiles_x].reshape(num_tiles)
 
@@ -369,9 +371,12 @@ def _expand_pairs_ellipse(proj: ProjectedGaussians, cfg: RenderConfig):
     # --- exact per-tile counts BEFORE the sort (interval scatter) ---
     one = (rlen > 0).astype(jnp.int32)
     ty_sc = jnp.where(rlen > 0, ty, cfg.tiles_y)  # out-of-range -> dropped
-    gridr = jnp.zeros((cfg.tiles_y, cfg.tiles_x + 1), jnp.int32)
-    gridr = gridr.at[ty_sc, txlo].add(one, mode="drop")
-    gridr = gridr.at[ty_sc, txlo + rlen].add(-one, mode="drop")
+    # ONE scatter for both interval endpoints (see the rect branch's
+    # corner scatter: dependent .add chains serialize).
+    gridr = jnp.zeros((cfg.tiles_y, cfg.tiles_x + 1), jnp.int32).at[
+        jnp.concatenate([ty_sc, ty_sc]),
+        jnp.concatenate([txlo, txlo + rlen]),
+    ].add(jnp.concatenate([one, -one]), mode="drop")
     tile_count = jnp.cumsum(gridr, axis=1)[:, : cfg.tiles_x].reshape(
         num_tiles
     )
