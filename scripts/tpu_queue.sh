@@ -2,6 +2,7 @@
 # Round-3 TPU measurement queue — run under nohup when the tunnel is healthy.
 # Each stage appends to its own log; never kill mid-compile.
 cd /root/repo
+mkdir -p .tpuruns
 set -x
 date
 # 1. health probe
