@@ -336,12 +336,17 @@ def bench_train_step(params, iters):
         fresh = jax.tree.map(jnp.array, pool)
         state = init_train_state(fresh, tcfg)
         state, m = step(state, batch)  # compile
-        jax.block_until_ready(state.pool.params["pos"])
+        float(m["total"])
         it = max(iters // 4, 3)
         t0 = time.perf_counter()
         for _ in range(it):
             state, m = step(state, batch)
-        jax.block_until_ready(state.pool.params["pos"])
+        # Synchronize via a HOST FETCH of a data-dependent scalar, not
+        # block_until_ready: on axon, donated-buffer executables re-dispatched
+        # in a tight loop can report ready immediately (round-3 measurement:
+        # 0.23 ms/view "batched" vs 2.4 s/view on CPU — physically
+        # impossible). A device->host copy of the loss cannot lie.
+        float(m["total"])
         ms_view = (time.perf_counter() - t0) / it / B * 1e3
         out[f"train_step_ms_per_view_{label}"] = round(ms_view, 2)
     return out
