@@ -345,8 +345,11 @@ def bench_train_step(params, iters):
         # block_until_ready: on axon, donated-buffer executables re-dispatched
         # in a tight loop can report ready immediately (round-3 measurement:
         # 0.23 ms/view "batched" vs 2.4 s/view on CPU — physically
-        # impossible). A device->host copy of the loss cannot lie.
+        # impossible). A device->host copy of the loss cannot lie. The loss
+        # only depends on the forward/backward; also fetch a post-update
+        # parameter so the sync covers the optimizer update too.
         float(m["total"])
+        float(state.pool.params["pos"][0, 0])
         ms_view = (time.perf_counter() - t0) / it / B * 1e3
         out[f"train_step_ms_per_view_{label}"] = round(ms_view, 2)
     return out

@@ -94,8 +94,9 @@ class RenderConfig:
     #   "cumprod" — exact two-level direct product of (1 - alpha): zero
     #               transcendentals / zero MXU, the torch reference's own
     #               shifted-cumprod semantics (render.py:379-383); agrees
-    #               with "log" to ~2e-7. A/B on hardware; same VJP math.
-    transmittance_math: str = "log"
+    #               with "log" to ~2e-7. Default since the round-3 TPU A/B:
+    #               orbit median 89.2 ms vs 97.9 ms for "log" (~9% faster).
+    transmittance_math: str = "cumprod"
     # Tile-culling granularity of the pair expansion (ops/binning.py):
     #   "rect"    — one-level expansion over the per-gaussian axis-aligned
     #               tile rectangle (marginal-extent AABB).

@@ -69,8 +69,11 @@ class TileBinning(NamedTuple):
     pair_slot: jnp.ndarray  # [padded_pairs] int32 depth-rank; -1 = padding
     tile_start: jnp.ndarray  # [num_tiles] int32 first pair slot of tile
     tile_count: jnp.ndarray  # [num_tiles] int32 real pairs in tile
-    block_tile: jnp.ndarray  # [num_blocks] int32 owning tile of each block
-    block_first: jnp.ndarray  # [num_blocks] int32 1 if first block of tile
+    # Packed per-block metadata (tile << 2 | dead << 1 | first) — ONE int32
+    # per block instead of separate (tile, first) arrays, because the
+    # kernel scalar-prefetches this into the 1 MB SMEM
+    # (raster_pallas.pack_block_meta).
+    block_meta: jnp.ndarray  # [num_blocks] int32 packed block metadata
     num_pairs: jnp.ndarray  # [] int32 true pair count (may exceed capacity!)
     depth_order: jnp.ndarray  # [N] int32 gaussian indices sorted by depth
     # Pre-sort (gaussian-major) pair index of each sorted pair; cfg.max_pairs
@@ -519,19 +522,24 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     # (trailing static-capacity headroom beyond the actual pair demand —
     # ~25% of the grid at the bench scale). Dead blocks carry all-zero
     # features, so they used to recompute no-op alpha math against the last
-    # tile every step; the kernels now skip them outright on the flag.
+    # tile every step; the kernels skip them outright on the flag. Packed
+    # with the tile id into ONE int32 per block (SMEM budget).
+    from .raster_pallas import pack_block_meta
+
     block_first = jnp.where(
         block_used,
         (b0 == padded_start[block_tile]).astype(jnp.int32),
         -1,
+    )
+    block_meta = pack_block_meta(
+        block_tile.astype(jnp.int32), block_first.astype(jnp.int32)
     )
 
     return TileBinning(
         pair_slot=pair_slot,
         tile_start=padded_start[:num_tiles],
         tile_count=tile_count,
-        block_tile=block_tile.astype(jnp.int32),
-        block_first=block_first.astype(jnp.int32),
+        block_meta=block_meta,
         num_pairs=total,
         depth_order=order,
         perm=perm,

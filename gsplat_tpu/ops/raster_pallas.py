@@ -48,6 +48,26 @@ from ..config import RenderConfig
 
 FEAT_WIDTH = 16
 
+# Per-block metadata is ONE packed int32 in SMEM (scalar prefetch):
+#     meta = (owning_tile << 2) | (dead << 1) | first
+# with first = 1 on a tile's first block, dead = 1 on static-capacity
+# headroom blocks past the real pair demand (all-zero features; the
+# kernels skip them outright). One array instead of the former two
+# (block_tile, block_first) halves the scalar-prefetch SMEM footprint —
+# the 1 MB SMEM budget is what capped batched rendering and demand-sized
+# capacities at 1080p scale (round-3 queue: "Used 1.25M of 1.00M").
+META_SHIFT = 2
+META_FIRST = 1
+META_DEAD = 2
+
+
+def pack_block_meta(block_tile, block_first):
+    """(tile, first/dead) arrays -> packed meta (block_first: 1 first,
+    0 continuation, -1 dead; tile must already be clipped in-range)."""
+    dead = (block_first < 0).astype(jnp.int32)
+    first = (block_first == 1).astype(jnp.int32)
+    return (block_tile << META_SHIFT) | (dead << 1) | first
+
 
 def _pixel_grid(t: int, P: int, tiles_x: int, tile_id, rows_mod: int = 0):
     """Pixel-center coordinates of a tile's P = t*t pixels.
@@ -169,14 +189,14 @@ def _block_alpha(feats, px, py, cfg: RenderConfig):
     return alpha, du, dv, g, a_raw
 
 
-def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
-                *, cfg: RenderConfig):
+def _fwd_kernel(block_meta_ref, feat_ref, out_ref, *, cfg: RenderConfig):
     b = pl.program_id(0)
-    t_id = block_tile_ref[b]
-    first = block_first_ref[b]
+    meta = block_meta_ref[b]
+    t_id = meta >> META_SHIFT
+    state = meta & 3  # META_FIRST = first block, 0 = continuation, META_DEAD
     P = cfg.tile * cfg.tile
 
-    garbage_free = first == 1  # out_ref holds garbage at first visit
+    garbage_free = state == META_FIRST  # out_ref holds garbage at first visit
     T_in = jnp.where(
         garbage_free, jnp.ones((1, P), jnp.float32), out_ref[0, 4:5, :]
     )
@@ -185,11 +205,11 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
     )
 
     # Skip saturated tiles (every pixel's transmittance below threshold)
-    # and DEAD blocks (first == -1: static-capacity headroom past the
-    # actual pair demand — all-zero features, nothing to composite).
+    # and DEAD blocks (static-capacity headroom past the actual pair
+    # demand — all-zero features, nothing to composite).
     @pl.when(
-        (first == 1)
-        | ((first == 0) & (jnp.max(T_in) > cfg.transmittance_min))
+        (state == META_FIRST)
+        | ((state == 0) & (jnp.max(T_in) > cfg.transmittance_min))
     )
     def _():
         feats = feat_ref[...].T  # [16, G] feature-major block -> [G, 16]
@@ -211,23 +231,24 @@ def _fwd_kernel(block_tile_ref, block_first_ref, feat_ref, out_ref,
         out_ref[0, 4:5, :] = T_out
 
 
-def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
+def _bwd_kernel(block_meta_ref, feat_ref, fwd_ref, gout_ref,
                 dfeat_ref, carry_ref, *, cfg: RenderConfig):
     b = pl.program_id(0)
-    t_id = block_tile_ref[b]
-    first = block_first_ref[b]
+    meta = block_meta_ref[b]
+    t_id = meta >> META_SHIFT
+    state = meta & 3
     G = cfg.pair_block
     P = cfg.tile * cfg.tile
 
     T_in = jnp.where(
-        first == 1, jnp.ones((1, P), jnp.float32), carry_ref[4:5, :]
+        state == META_FIRST, jnp.ones((1, P), jnp.float32), carry_ref[4:5, :]
     )
     prefix_in = jnp.where(
-        first == 1, jnp.zeros((4, P), jnp.float32), carry_ref[0:4, :]
+        state == META_FIRST, jnp.zeros((4, P), jnp.float32), carry_ref[0:4, :]
     )
 
-    active = (first == 1) | (
-        (first == 0) & (jnp.max(T_in) > cfg.transmittance_min)
+    active = (state == META_FIRST) | (
+        (state == 0) & (jnp.max(T_in) > cfg.transmittance_min)
     )
 
     @pl.when(active)
@@ -316,45 +337,46 @@ def _bwd_kernel(block_tile_ref, block_first_ref, feat_ref, fwd_ref, gout_ref,
         dfeat_ref[...] = jnp.zeros((FEAT_WIDTH, G), jnp.float32)
 
 
-def _fwd_pallas(pair_feat, block_tile, block_first, cfg: RenderConfig):
+def _fwd_pallas(pair_feat, block_meta, cfg: RenderConfig):
     P = cfg.tile * cfg.tile
     num_blocks = cfg.num_pair_blocks
     G = cfg.pair_block
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((FEAT_WIDTH, G), lambda b, bt, bf: (0, b),
+            pl.BlockSpec((FEAT_WIDTH, G), lambda b, bm: (0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 8, P), lambda b, bm: (bm[b] >> META_SHIFT, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, 8, P), jnp.float32),
         interpret=_use_interpret(),
-    )(block_tile, block_first, pair_feat)
+    )(block_meta, pair_feat)
 
 
-def _bwd_pallas(pair_feat, block_tile, block_first, fwd_out, gout,
-                cfg: RenderConfig):
+def _bwd_pallas(pair_feat, block_meta, fwd_out, gout, cfg: RenderConfig):
     P = cfg.tile * cfg.tile
     num_blocks = cfg.num_pair_blocks
     G = cfg.pair_block
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((FEAT_WIDTH, G), lambda b, bt, bf: (0, b),
+            pl.BlockSpec((FEAT_WIDTH, G), lambda b, bm: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
+            pl.BlockSpec((1, 8, P), lambda b, bm: (bm[b] >> META_SHIFT, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
+            pl.BlockSpec((1, 8, P), lambda b, bm: (bm[b] >> META_SHIFT, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((FEAT_WIDTH, G), lambda b, bt, bf: (0, b),
+        out_specs=pl.BlockSpec((FEAT_WIDTH, G), lambda b, bm: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
     )
@@ -364,7 +386,7 @@ def _bwd_pallas(pair_feat, block_tile, block_first, fwd_out, gout,
         out_shape=jax.ShapeDtypeStruct((FEAT_WIDTH, cfg.padded_pairs),
                                        jnp.float32),
         interpret=_use_interpret(),
-    )(block_tile, block_first, pair_feat, fwd_out, gout)
+    )(block_meta, pair_feat, fwd_out, gout)
 
 
 def _use_interpret() -> bool:
@@ -372,14 +394,14 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _composite_impl(pair_feat, block_tile, block_first, cfg: RenderConfig):
+def _composite_impl(pair_feat, block_meta, cfg: RenderConfig):
     """Composite the block-aligned pair list into per-tile pixel buffers.
 
     Args:
-        pair_feat: [padded_pairs, 16] f32 per-pair features (see module doc);
-            padding slots must be all-zero.
-        block_tile: [num_pair_blocks] int32 owning tile per block.
-        block_first: [num_pair_blocks] int32 1 for the first block of a tile.
+        pair_feat: [16, padded_pairs] f32 feature-major per-pair features
+            (see module doc); padding slots must be all-zero.
+        block_meta: [num_pair_blocks] int32 packed (tile, dead, first)
+            per-block metadata (see ``pack_block_meta``).
         cfg: static render config (non-differentiable).
 
     Returns:
@@ -388,23 +410,22 @@ def _composite_impl(pair_feat, block_tile, block_first, cfg: RenderConfig):
         Tiles that own no block are NOT written — mask with tile_count > 0
         downstream.
     """
-    return _fwd_pallas(pair_feat, block_tile, block_first, cfg)
+    return _fwd_pallas(pair_feat, block_meta, cfg)
 
 
-composite_pairs = jax.custom_vjp(_composite_impl, nondiff_argnums=(3,))
+composite_pairs = jax.custom_vjp(_composite_impl, nondiff_argnums=(2,))
 
 
-def _cp_fwd(pair_feat, block_tile, block_first, cfg):
-    out = _fwd_pallas(pair_feat, block_tile, block_first, cfg)
-    return out, (pair_feat, block_tile, block_first, out)
+def _cp_fwd(pair_feat, block_meta, cfg):
+    out = _fwd_pallas(pair_feat, block_meta, cfg)
+    return out, (pair_feat, block_meta, out)
 
 
 def _cp_bwd(cfg, res, gout):
-    pair_feat, block_tile, block_first, fwd_out = res
-    dfeat = _bwd_pallas(pair_feat, block_tile, block_first, fwd_out, gout, cfg)
-    zero_bt = np.zeros(block_tile.shape, dtype=jax.dtypes.float0)
-    zero_bf = np.zeros(block_first.shape, dtype=jax.dtypes.float0)
-    return dfeat, zero_bt, zero_bf
+    pair_feat, block_meta, fwd_out = res
+    dfeat = _bwd_pallas(pair_feat, block_meta, fwd_out, gout, cfg)
+    zero_bm = np.zeros(block_meta.shape, dtype=jax.dtypes.float0)
+    return dfeat, zero_bm
 
 
 composite_pairs.defvjp(_cp_fwd, _cp_bwd)

@@ -284,14 +284,9 @@ def rasterize_binned_pallas(
     colors: jnp.ndarray,
     binning: TileBinning,
     cfg: RenderConfig,
-    mega: bool = False,
 ):
-    """Rasterize via the Pallas TPU kernel (ops/raster_pallas.py), or the
-    mega-stepped variant (ops/raster_mega.py) when `mega` is set."""
+    """Rasterize via the Pallas TPU kernel (ops/raster_pallas.py)."""
     from .raster_pallas import FEAT_WIDTH, _use_interpret, composite_pairs
-
-    if mega:
-        from .raster_mega import composite_pairs_mega as composite_pairs  # noqa: F811
 
     if not _use_interpret():
         # Mosaic block-shape constraint: the last two dims of every block
@@ -331,7 +326,7 @@ def rasterize_binned_pallas(
     )
 
     out = composite_pairs(
-        pair_feat, binning.block_tile, binning.block_first, cfg
+        pair_feat, binning.block_meta, cfg
     )  # [num_tiles, 8, P]: rows 0-2 rgb, 3 depth, 4 transmittance
 
     # Tiles with no pairs own no block and are never written: mask them.
@@ -456,12 +451,13 @@ def resolve_backend(cfg: RenderConfig) -> str:
     if backend == "auto":
         # Aligned Pallas kernel on TPU; XLA fallback elsewhere
         # (interpret-mode Pallas is only for small kernel-parity tests —
-        # it walks the grid in python). Two alternative kernels are
-        # opt-in, both bit-compatible: 'pallas_mega' (8 blocks per grid
-        # step + manual flush DMAs — measured ~5% faster on the synthetic
-        # scene but ~17% slower on the trained-checkpoint scene) and
-        # 'pallas_seg' (compact unaligned layout — memory-lean, loses the
-        # saturation early-exit; NEXT.md §13).
+        # it walks the grid in python). One alternative kernel is opt-in
+        # and bit-compatible: 'pallas_seg' (compact unaligned layout —
+        # memory-lean, loses the saturation early-exit; NEXT.md §13).
+        # A third variant ('pallas_mega', 8 blocks per grid step + manual
+        # flush DMAs) was retired in round 4: it regressed the
+        # trained-checkpoint bench 54 -> 65 ms in two straight rounds
+        # (NEXT.md §15).
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     return backend
 
@@ -479,8 +475,6 @@ def rasterize_binned(
     because the layout is already aligned.
     """
     backend = resolve_backend(cfg)
-    if backend == "pallas_mega":
-        return rasterize_binned_pallas(proj, colors, binning, cfg, mega=True)
     if backend in ("pallas", "pallas_seg"):
         return rasterize_binned_pallas(proj, colors, binning, cfg)
     return rasterize_binned_xla(proj, colors, binning, cfg)
@@ -494,10 +488,7 @@ def rasterize(proj: ProjectedGaussians, colors: jnp.ndarray, cfg: RenderConfig):
         out = rasterize_binned_seg(proj, colors, binning, cfg)
     else:
         binning = bin_gaussians(proj, cfg)
-        if backend == "pallas_mega":
-            out = rasterize_binned_pallas(proj, colors, binning, cfg,
-                                          mega=True)
-        elif backend == "pallas":
+        if backend == "pallas":
             out = rasterize_binned_pallas(proj, colors, binning, cfg)
         else:
             out = rasterize_binned_xla(proj, colors, binning, cfg)

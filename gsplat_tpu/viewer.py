@@ -90,18 +90,63 @@ def estimate_scene_center_radius(
     return np.zeros(3, np.float32), 5.0
 
 
+def _split_render_out(out):
+    """render_fn may return `img` or `(img, probe)` — probe is a tiny f32
+    vector [mean(img), num_pairs, num_rows] computed in-graph (see
+    make_render_fn(report_demand=True))."""
+    if isinstance(out, (tuple, list)) and len(out) == 2:
+        return out[0], out[1]
+    return out, None
+
+
+def _traj_stats(times, n_frames, probes, pair_capacity, extra=None):
+    times_ms = np.asarray(times) * 1e3
+    stats = {
+        "frames": n_frames,
+        "mean_ms": float(times_ms.mean()),
+        "median_ms": float(np.median(times_ms)),
+        "min_ms": float(times_ms.min()),
+        "max_ms": float(times_ms.max()),
+        "std_ms": float(times_ms.std()),
+        "fps": float(1e3 / times_ms.mean()),
+    }
+    if extra:
+        stats.update(extra)
+    if probes:
+        pv = np.stack(probes)  # [K, 3]
+        stats["max_pairs_seen"] = int(pv[:, 1].max())
+        stats["max_rows_seen"] = int(pv[:, 2].max())
+        stats["pair_capacity"] = int(pair_capacity)
+        stats["pair_overflow_frames"] = (
+            int((pv[:, 1] > pair_capacity).sum()) if pair_capacity else 0
+        )
+    return stats
+
+
 def render_trajectory(
     render_fn,
     trajectory: np.ndarray,
     benchmark: bool = True,
     warmup: int = 1,
     batch_size: int = 1,
+    keep_frames: bool = True,
+    pair_capacity: int = 0,
 ):
     """Render every pose; returns (frames uint8 list, stats dict).
 
-    `render_fn(c2w) -> [H, W, 3] float image` should be a jitted closure.
-    Timing synchronizes on device completion per frame like the reference's
-    cuda.synchronize loop (:319-358).
+    `render_fn(c2w) -> [H, W, 3] float image` should be a jitted closure;
+    it may instead return `(img, probe)` with probe a [3] f32 vector
+    `[mean(img), num_pairs, num_rows]` (make_render_fn(report_demand=True))
+    — then per-frame timing synchronizes on a HOST FETCH of that tiny
+    vector (mean(img) makes it downstream of the whole kernel), frame
+    demand is tracked in the stats, and with `pair_capacity` set the stats
+    count capacity-overflow frames (the never-silent contract: overflow
+    DROPS the farthest splats, so the CLI must surface it).
+
+    keep_frames=False (benchmark mode) skips the ~24 MB/frame device->host
+    image fetch entirely — the reference's benchmark loop does the same
+    (render_trained.py:356); the round-3 queue measured 741 ms straggler
+    frames caused by those fetches over the axon tunnel.
 
     batch_size > 1: `render_fn([B, 4, 4]) -> [B, H, W, 3]` (see
     make_batch_render_fn) renders B poses per launch through the shared
@@ -113,6 +158,18 @@ def render_trajectory(
 
     frames = []
     times = []
+    probes = []
+
+    def sync(out):
+        """Wait for the frame: tiny probe fetch when available (the probe
+        depends on every pixel), else block on the image buffers."""
+        img, probe = _split_render_out(out)
+        if probe is not None:
+            probes.append(np.asarray(probe))
+        else:
+            jax.block_until_ready(img)
+        return img
+
     if batch_size > 1:
         B = batch_size
         n = len(trajectory)
@@ -120,8 +177,8 @@ def render_trajectory(
             np.asarray(trajectory[0]), (B, 4, 4)
         ).copy()
         for _ in range(min(warmup, 1)):
-            out = render_fn(warm)
-            jax.block_until_ready(out)
+            img, _ = _split_render_out(render_fn(warm))
+            jax.block_until_ready(img)
         for s in range(0, n, B):
             chunk = np.asarray(trajectory[s : s + B])
             real = chunk.shape[0]
@@ -130,47 +187,37 @@ def render_trajectory(
                     [chunk, np.repeat(chunk[-1:], B - real, axis=0)]
                 )
             t0 = time.perf_counter()
-            imgs = render_fn(chunk)
-            jax.block_until_ready(imgs)
+            imgs = sync(render_fn(chunk))
             dt = (time.perf_counter() - t0) / B
             times.extend([dt] * real)
-            arr = np.clip(np.asarray(imgs[:real]), 0, 1)
-            frames.extend(
-                (f * 255.0 + 0.5).astype(np.uint8) for f in arr
-            )
-        times_ms = np.asarray(times) * 1e3
-        stats = {
-            "frames": len(frames),
-            "batch_size": B,
-            "mean_ms": float(times_ms.mean()),
-            "median_ms": float(np.median(times_ms)),
-            "min_ms": float(times_ms.min()),
-            "max_ms": float(times_ms.max()),
-            "std_ms": float(times_ms.std()),
-            "fps": float(1e3 / times_ms.mean()),
-        } if benchmark and times else {}
+            if keep_frames:
+                arr = np.clip(np.asarray(imgs[:real]), 0, 1)
+                frames.extend(
+                    (f * 255.0 + 0.5).astype(np.uint8) for f in arr
+                )
+        stats = _traj_stats(
+            times, len(frames) if keep_frames else n, probes, pair_capacity,
+            extra={"batch_size": B},
+        ) if benchmark and times else {}
         return frames, stats
+
     for i in range(min(warmup, len(trajectory))):
-        out = render_fn(np.asarray(trajectory[i]))
-        jax.block_until_ready(out)
+        img, _ = _split_render_out(render_fn(np.asarray(trajectory[i])))
+        jax.block_until_ready(img)
     for c2w in trajectory:
         t0 = time.perf_counter()
-        img = render_fn(np.asarray(c2w))
-        jax.block_until_ready(img)
+        img = sync(render_fn(np.asarray(c2w)))
         times.append(time.perf_counter() - t0)
-        frames.append(
-            (np.clip(np.asarray(img), 0, 1) * 255.0 + 0.5).astype(np.uint8)
-        )
-    times_ms = np.asarray(times) * 1e3
-    stats = {
-        "frames": len(frames),
-        "mean_ms": float(times_ms.mean()),
-        "median_ms": float(np.median(times_ms)),
-        "min_ms": float(times_ms.min()),
-        "max_ms": float(times_ms.max()),
-        "std_ms": float(times_ms.std()),
-        "fps": float(1e3 / times_ms.mean()),
-    } if benchmark and times else {}
+        if keep_frames:
+            frames.append(
+                (np.clip(np.asarray(img), 0, 1) * 255.0 + 0.5).astype(
+                    np.uint8
+                )
+            )
+    stats = _traj_stats(
+        times, len(frames) if keep_frames else len(trajectory), probes,
+        pair_capacity,
+    ) if benchmark and times else {}
     return frames, stats
 
 
@@ -214,11 +261,30 @@ def save_video(
         return frames_dir  # PNGs remain available
 
 
+def _demand_probe(img, aux):
+    """Tiny [3] f32 vector fetched per frame in benchmark/serving loops:
+    [mean(img), num_pairs, num_rows]. mean(img) makes the vector depend on
+    every pixel, so one host fetch of 12 bytes is a full frame sync."""
+    import jax.numpy as jnp
+
+    rows = aux.num_rows if aux.num_rows is not None else jnp.int32(0)
+    return jnp.stack(
+        [
+            jnp.mean(img),
+            aux.num_pairs.astype(jnp.float32),
+            rows.astype(jnp.float32),
+        ]
+    )
+
+
 def make_render_fn(params: dict, cfg: RenderConfig, fx, fy, cx, cy,
-                   alive=None, with_depth: bool = False):
+                   alive=None, with_depth: bool = False,
+                   report_demand: bool = False):
     """Jitted c2w -> image closure over fixed params/intrinsics.
 
     With ``with_depth`` the closure returns (rgb, depth, alpha) planes.
+    With ``report_demand`` it returns (img, probe[3]) — see _demand_probe;
+    render_trajectory uses the probe for cheap sync + overflow reporting.
     """
     import jax
     import jax.numpy as jnp
@@ -232,19 +298,23 @@ def make_render_fn(params: dict, cfg: RenderConfig, fx, fy, cx, cy,
         )
         if with_depth:
             return img, aux.depth, aux.alpha
+        if report_demand:
+            return img, _demand_probe(img, aux)
         return img
 
     return fn
 
 
 def make_batch_render_fn(params: dict, cfg: RenderConfig, fx, fy, cx, cy,
-                         alive=None, batch: int = 4):
+                         alive=None, batch: int = 4,
+                         report_demand: bool = False):
     """Jitted [B, 4, 4] -> [B, H, W, 3] closure over fixed intrinsics.
 
     Uses render_batch_from_params: one shared binning sort + one kernel
     launch for all B poses (amortizes the per-launch fixed costs that
     dominate small/medium frames). Results are identical to per-pose
-    rendering to the last ulp.
+    rendering to the last ulp. ``report_demand`` as in make_render_fn
+    (num_pairs is the whole batch's shared-capacity demand).
     """
     import jax
     import jax.numpy as jnp
@@ -253,9 +323,11 @@ def make_batch_render_fn(params: dict, cfg: RenderConfig, fx, fy, cx, cy,
 
     @jax.jit
     def fn(c2w_b):
-        imgs, _ = render_batch_from_params(
+        imgs, aux = render_batch_from_params(
             params, jnp.asarray(c2w_b), fx, fy, cx, cy, cfg, alive=alive
         )
+        if report_demand:
+            return imgs, _demand_probe(imgs, aux)
         return imgs
 
     return fn

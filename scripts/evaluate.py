@@ -30,7 +30,7 @@ def main():
                    choices=("rect", "ellipse"),
                    help="tile culling granularity (ellipse: exact per-row "
                         "intervals, fewer pairs, identical images)")
-    p.add_argument("--transmittance_math", default="log",
+    p.add_argument("--transmittance_math", default="cumprod",
                    choices=("log", "cumprod"))
     p.add_argument("--background", default="black",
                    help="render background: 'black' (reference parity), "
@@ -41,7 +41,7 @@ def main():
                         "low-pass, 'mip' also energy-compensates opacity "
                         "(Mip-Splatting Eq. 6)")
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "pallas_seg", "xla"))
     p.add_argument("--json", action="store_true", help="print JSON only")
     p.add_argument("--render_batch", type=int, default=1,
                    help="views rendered per launch via the shared-binning "

@@ -55,7 +55,7 @@ def main():
                    choices=("rect", "ellipse"),
                    help="tile culling granularity (ellipse: exact per-row "
                         "intervals, fewer pairs, identical images)")
-    p.add_argument("--transmittance_math", default="log",
+    p.add_argument("--transmittance_math", default="cumprod",
                    choices=("log", "cumprod"))
     p.add_argument("--background", default="black",
                    help="render background: 'black' (reference parity), "
@@ -66,7 +66,7 @@ def main():
                         "low-pass, 'mip' also energy-compensates opacity "
                         "(Mip-Splatting Eq. 6)")
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "pallas_seg", "xla"))
     p.add_argument("--spmd", action="store_true",
                    help="render over ALL devices: poses shard over the mesh "
                         "'data' axis, frames split into --spmd_bands bands")

@@ -37,19 +37,21 @@ from jax.experimental.pallas import tpu as pltpu
 from gsplat_tpu import RenderConfig
 from gsplat_tpu.ops.raster_pallas import (
     FEAT_WIDTH,
+    META_SHIFT,
     _block_alpha,
     _cumsum_rows_incl,
     _fwd_kernel,
     _pixel_grid,
     _use_interpret,
+    pack_block_meta,
 )
 
 
-def _kernel_no_transc(block_tile_ref, block_first_ref, feat_ref, out_ref,
-                      *, cfg):
+def _kernel_no_transc(block_meta_ref, feat_ref, out_ref, *, cfg):
     b = pl.program_id(0)
-    t_id = block_tile_ref[b]
-    first = block_first_ref[b]
+    meta = block_meta_ref[b]
+    t_id = meta >> META_SHIFT
+    first = meta & 3
     P = cfg.tile * cfg.tile
     T_in = jnp.where(first == 1, jnp.ones((1, P), jnp.float32),
                      out_ref[0, 4:5, :])
@@ -85,16 +87,16 @@ def _kernel_no_transc(block_tile_ref, block_first_ref, feat_ref, out_ref,
         out_ref[0, 4:5, :] = T_in * (1.0 + jnp.sum(s, axis=0, keepdims=True))
 
 
-def _kernel_cumprod(block_tile_ref, block_first_ref, feat_ref, out_ref,
-                    *, cfg):
+def _kernel_cumprod(block_meta_ref, feat_ref, out_ref, *, cfg):
     """EXACT candidate replacement (not an ablation): transmittance via a
     two-level direct cumprod of (1 - alpha) — zero transcendentals, zero
     MXU — instead of exp(cumsum(log1p(-alpha))). Same math as the torch
     reference's shifted cumprod (render.py:379-383); f32 product error over
     128 factors is comparable to the log-space path's exp/log rounding."""
     b = pl.program_id(0)
-    t_id = block_tile_ref[b]
-    first = block_first_ref[b]
+    meta = block_meta_ref[b]
+    t_id = meta >> META_SHIFT
+    first = meta & 3
     P = cfg.tile * cfg.tile
     G = cfg.pair_block
     T_in = jnp.where(first == 1, jnp.ones((1, P), jnp.float32),
@@ -140,11 +142,11 @@ def _kernel_cumprod(block_tile_ref, block_first_ref, feat_ref, out_ref,
         out_ref[0, 4:5, :] = T_in * grun  # grun = full 128-row product
 
 
-def _kernel_no_mxu(block_tile_ref, block_first_ref, feat_ref, out_ref,
-                   *, cfg):
+def _kernel_no_mxu(block_meta_ref, feat_ref, out_ref, *, cfg):
     b = pl.program_id(0)
-    t_id = block_tile_ref[b]
-    first = block_first_ref[b]
+    meta = block_meta_ref[b]
+    t_id = meta >> META_SHIFT
+    first = meta & 3
     P = cfg.tile * cfg.tile
     T_in = jnp.where(first == 1, jnp.ones((1, P), jnp.float32),
                      out_ref[0, 4:5, :])
@@ -168,10 +170,9 @@ def _kernel_no_mxu(block_tile_ref, block_first_ref, feat_ref, out_ref,
         out_ref[0, 4:5, :] = T_in * jnp.exp(jnp.sum(s, axis=0, keepdims=True))
 
 
-def _kernel_no_compute(block_tile_ref, block_first_ref, feat_ref, out_ref,
-                       *, cfg):
+def _kernel_no_compute(block_meta_ref, feat_ref, out_ref, *, cfg):
     b = pl.program_id(0)
-    first = block_first_ref[b]
+    first = block_meta_ref[b] & 3
     P = cfg.tile * cfg.tile
     T_in = jnp.where(first == 1, jnp.ones((1, P), jnp.float32),
                      out_ref[0, 4:5, :])
@@ -180,11 +181,11 @@ def _kernel_no_compute(block_tile_ref, block_first_ref, feat_ref, out_ref,
     out_ref[0, 4:5, :] = T_in + jnp.sum(feats[0:1, :], axis=1, keepdims=True)
 
 
-def _kernel_no_input(block_tile_ref, block_first_ref, feat_ref, out_ref,
-                     *, cfg):
+def _kernel_no_input(block_meta_ref, feat_ref, out_ref, *, cfg):
     b = pl.program_id(0)
-    t_id = block_tile_ref[b]
-    first = block_first_ref[b]
+    meta = block_meta_ref[b]
+    t_id = meta >> META_SHIFT
+    first = meta & 3
     P = cfg.tile * cfg.tile
     G = cfg.pair_block
     T_in = jnp.where(first == 1, jnp.ones((1, P), jnp.float32),
@@ -196,10 +197,12 @@ def _kernel_no_input(block_tile_ref, block_first_ref, feat_ref, out_ref,
     def _():
         # Same compute as `full`, but features come from iota (feat_ref is
         # in the signature yet never read -> Mosaic drops the input DMA).
-        base = jax.lax.broadcasted_iota(jnp.float32, (G, FEAT_WIDTH), 0)
-        feats = base * 1e-3 + jax.lax.broadcasted_iota(
-            jnp.float32, (G, FEAT_WIDTH), 1
-        )
+        # NB: tpu.iota is INTEGER-only (the round-3 TPU run crashed on a
+        # float32 broadcasted_iota); generate int32 and cast.
+        base = jax.lax.broadcasted_iota(jnp.int32, (G, FEAT_WIDTH), 0)
+        feats = base.astype(jnp.float32) * 1e-3 + jax.lax.broadcasted_iota(
+            jnp.int32, (G, FEAT_WIDTH), 1
+        ).astype(jnp.float32)
         px, py = _pixel_grid(cfg.tile, P, cfg.tiles_x, t_id)
         alpha, *_ = _block_alpha(feats, px, py, cfg)
         s = jnp.log1p(-alpha)
@@ -216,9 +219,9 @@ def _kernel_no_input(block_tile_ref, block_first_ref, feat_ref, out_ref,
         out_ref[0, 4:5, :] = T_in * jnp.exp(jnp.sum(s, axis=0, keepdims=True))
 
 
-def _kernel_empty(block_tile_ref, block_first_ref, feat_ref, out_ref, *, cfg):
+def _kernel_empty(block_meta_ref, feat_ref, out_ref, *, cfg):
     b = pl.program_id(0)
-    first = block_first_ref[b]
+    first = block_meta_ref[b] & 3
     P = cfg.tile * cfg.tile
     T_in = jnp.where(first == 1, jnp.ones((1, P), jnp.float32),
                      out_ref[0, 4:5, :])
@@ -236,32 +239,34 @@ VARIANTS = {
 }
 
 
-def run_variant(name, kernel, pair_feat, block_tile, block_first, cfg,
-                iters):
+def run_variant(name, kernel, pair_feat, block_meta, cfg, iters):
     P = cfg.tile * cfg.tile
-    num_blocks = block_tile.shape[0]
+    num_blocks = block_meta.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
             pl.BlockSpec((FEAT_WIDTH, cfg.pair_block),
-                         lambda b, bt, bf: (0, b), memory_space=pltpu.VMEM),
+                         lambda b, bm: (0, b), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, P), lambda b, bt, bf: (bt[b], 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 8, P), lambda b, bm: (bm[b] >> META_SHIFT, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
     )
-    fn = jax.jit(lambda bt, bf, f: pl.pallas_call(
+    fn = jax.jit(lambda bm, f: pl.pallas_call(
         functools.partial(kernel, cfg=cfg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, 8, P), jnp.float32),
         interpret=_use_interpret(),
-    )(bt, bf, f))
-    out = fn(block_tile, block_first, pair_feat)
+    )(bm, f))
+    out = fn(block_meta, pair_feat)
     out.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(block_tile, block_first, pair_feat)
-    out.block_until_ready()
+        out = fn(block_meta, pair_feat)
+    # Host fetch: block_until_ready can no-op on axon re-dispatch (bench.py).
+    float(out[0, 4, 0])
     dt = (time.perf_counter() - t0) / iters
     print(
         f"{name:11s} {dt * 1e3:8.2f} ms  "
@@ -297,7 +302,7 @@ def main():
     )
     bf = np.zeros((num_blocks,), np.int32)
     bf[::bpt] = 1
-    block_first = jnp.asarray(bf)
+    block_meta = pack_block_meta(block_tile, jnp.asarray(bf))
 
     rng = np.random.default_rng(0)
     npairs = num_blocks * cfg.pair_block
@@ -322,8 +327,8 @@ def main():
         flush=True,
     )
     for name in names:
-        run_variant(name, VARIANTS[name], pair_feat, block_tile,
-                    block_first, cfg, args.iters)
+        run_variant(name, VARIANTS[name], pair_feat, block_meta,
+                    cfg, args.iters)
 
 
 if __name__ == "__main__":

@@ -108,7 +108,7 @@ def main():
                    help="remap the DC color term for INRIA-convention "
                         "viewers (approximate for view-dependent color)")
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "pallas_seg", "xla"))
     p.add_argument("--render_batch", type=int, default=1,
                    help="poses rendered per launch via the shared-binning "
                         "batched path (1 = per-pose rendering)")
@@ -128,7 +128,7 @@ def main():
                    choices=("rect", "ellipse"),
                    help="tile culling granularity (ellipse: exact per-row "
                         "intervals, fewer pairs, identical images)")
-    p.add_argument("--transmittance_math", default="log",
+    p.add_argument("--transmittance_math", default="cumprod",
                    choices=("log", "cumprod"))
     p.add_argument("--background", default="black",
                    help="render background: 'black' (reference parity), "
@@ -266,6 +266,7 @@ def main():
         elevation_deg=args.elevation,
     )
 
+    keep_frames = not args.benchmark_only
     if args.render_batch > 1 or args.spmd:
         from gsplat_tpu.viewer import make_batch_render_fn
 
@@ -295,18 +296,39 @@ def main():
         else:
             batch_fn = make_batch_render_fn(
                 params, cfg, fx, fy, cx, cy, alive=alive,
-                batch=args.render_batch,
+                batch=args.render_batch, report_demand=True,
             )
         frames, stats = render_trajectory(
-            batch_fn, traj, batch_size=args.render_batch
+            batch_fn, traj, batch_size=args.render_batch,
+            keep_frames=keep_frames,
+            pair_capacity=args.render_batch * cfg.max_pairs,
         )
     else:
-        frames, stats = render_trajectory(render_fn, traj)
+        orbit_fn = make_render_fn(
+            params, cfg, fx, fy, cx, cy, alive=alive, report_demand=True
+        )
+        frames, stats = render_trajectory(
+            orbit_fn, traj, keep_frames=keep_frames,
+            pair_capacity=cfg.max_pairs,
+        )
     print(
         f"FPS: {stats['fps']:.2f}  (mean {stats['mean_ms']:.2f} ms, "
         f"median {stats['median_ms']:.2f}, min {stats['min_ms']:.2f}, "
         f"max {stats['max_ms']:.2f}, std {stats['std_ms']:.2f})"
     )
+    if "max_pairs_seen" in stats:
+        print(
+            f"pair demand: max {stats['max_pairs_seen']} of capacity "
+            f"{stats['pair_capacity']}"
+            + (f", rows max {stats['max_rows_seen']}"
+               if cfg.cull_mode == "ellipse" else "")
+        )
+        if stats.get("pair_overflow_frames"):
+            print(
+                f"WARNING: {stats['pair_overflow_frames']} frame(s) "
+                f"exceeded pair capacity — the farthest splats were "
+                f"dropped; raise --max_pairs or use --auto_pairs"
+            )
 
     if not args.benchmark_only:
         video = save_video(

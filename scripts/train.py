@@ -36,7 +36,7 @@ def main():
                    choices=("rect", "ellipse"),
                    help="tile culling granularity (ellipse: exact per-row "
                         "intervals, fewer pairs, identical images)")
-    p.add_argument("--transmittance_math", default="log",
+    p.add_argument("--transmittance_math", default="cumprod",
                    choices=("log", "cumprod"))
     p.add_argument("--background", default="black",
                    help="render background: 'black' (reference parity), "
@@ -61,7 +61,7 @@ def main():
     p.add_argument("--checkpoint_interval", type=int, default=1000)
     p.add_argument("--resume_from", default=None)
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_mega", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "pallas_seg", "xla"))
     p.add_argument("--adc_mode", default="reference",
                    choices=("reference", "paper"),
                    help="density control rules: the reference's world-space"

@@ -45,8 +45,7 @@ def main():
     p.add_argument("--adc_mode", default="reference",
                    choices=("reference", "paper"))
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_mega", "pallas_seg",
-                            "xla"))
+                   choices=("auto", "pallas", "pallas_seg", "xla"))
     p.add_argument("--json", action="store_true", help="print JSON only")
     args = p.parse_args()
 

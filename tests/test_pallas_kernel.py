@@ -204,58 +204,22 @@ def test_seg_saturated_scene_early_exit_correct():
     )
 
 
-# --- mega-stepped aligned kernel (ops/raster_mega.py) ----------------------
-
-MEGA_CFG = CFG.with_(backend="pallas_mega", pair_block=128, mega_block=512,
-                     max_pairs=2**13)
-
-
-def test_mega_forward_and_grads_match_xla():
-    """The mega-stepped aligned kernel must reproduce images and gradients
-    (it shares the per-block math with 'pallas'; only stepping/flushing
-    differ)."""
-    scene = make_scene(None, n=256, seed_offset=17)
-    params = _params(scene)
-    c2w = jnp.asarray(scene["c2w"])
-
-    img_m, aux_m = _render(params, c2w, "pallas_mega", MEGA_CFG)
-    img_x, _ = _render(params, c2w, "xla", MEGA_CFG)
-    np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_x),
-                               atol=2e-5)
-
-    def loss(p, backend):
-        img, _ = _render(p, c2w, backend, MEGA_CFG)
-        weight = jnp.cos(0.31 * jnp.arange(img.size).reshape(img.shape))
-        return jnp.sum(img * weight)
-
-    g_m = jax.grad(lambda p: loss(p, "pallas_mega"))(params)
-    g_x = jax.grad(lambda p: loss(p, "xla"))(params)
-    for k in g_m:
-        a, b = np.asarray(g_m[k]), np.asarray(g_x[k])
-        scale = np.abs(b).max() + 1e-12
-        assert np.abs(a - b).max() / scale < 1e-4, k
-
-
-def test_mega_saturated_scene_early_exit_correct():
-    scene = make_scene(None, n=256, seed_offset=18)
-    scene = dict(scene)
-    scene["opacity_raw"] = scene["opacity_raw"] + 4.0
-    params = _params(scene)
-    c2w = jnp.asarray(scene["c2w"])
-    img_m, _ = _render(params, c2w, "pallas_mega", MEGA_CFG)
-    img_x, _ = _render(params, c2w, "xla", MEGA_CFG)
-    np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_x),
-                               atol=2e-5)
+# The mega-stepped aligned kernel ('pallas_mega', ops/raster_mega.py) was
+# retired in round 4: it regressed the trained-checkpoint bench in two
+# straight rounds (NEXT.md §15); its tests went with it.
 
 def test_cumprod_transmittance_matches_log():
     """transmittance_math="cumprod" (exact two-level product, zero
-    transcendentals) must agree with the default log-space math in both
-    the forward image and the custom-VJP gradients."""
+    transcendentals; the default since the round-3 TPU A/B) must agree
+    with the log-space math in both the forward image and the custom-VJP
+    gradients."""
     scene = make_scene(None, n=160, seed_offset=5)
     params = _params(scene)
     c2w = jnp.asarray(scene["c2w"])
 
-    img_l, aux_l = _render(params, c2w, "pallas")
+    img_l, aux_l = _render(
+        params, c2w, "pallas", CFG.with_(transmittance_math="log")
+    )
     img_c, aux_c = _render(
         params, c2w, "pallas", CFG.with_(transmittance_math="cumprod")
     )
@@ -274,7 +238,9 @@ def test_cumprod_transmittance_matches_log():
         )
         return jnp.mean(jnp.abs(img - tgt)) + jnp.mean(img * img)
 
-    g_l = jax.grad(lambda p: loss(p, CFG))(params)
+    g_l = jax.grad(
+        lambda p: loss(p, CFG.with_(transmittance_math="log"))
+    )(params)
     g_c = jax.grad(
         lambda p: loss(p, CFG.with_(transmittance_math="cumprod"))
     )(params)
