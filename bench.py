@@ -186,7 +186,7 @@ def bench_checkpoint(path, height, width, iters):
     import jax
     import jax.numpy as jnp
 
-    from gsplat_tpu import RenderConfig, render_from_params
+    from gsplat_tpu import RenderConfig, pair_demand, render_from_params
     from gsplat_tpu.train.trainer import restore_pool
     from gsplat_tpu.viewer import estimate_scene_center_radius, look_at
 
@@ -256,6 +256,46 @@ def bench_checkpoint(path, height, width, iters):
         })
     except Exception as e:  # never break the bench line
         out["fps_trained_ckpt_ellipse_error"] = f"{type(e).__name__}: {e}"[:200]
+    # Per-tile rank truncation A/B (cfg.tile_rank_cap, round 4): trained
+    # scenes are extremely tail-heavy (p99 tiles hold ~8700 pairs, median
+    # 0) and deep-ranked pairs are occluded — K=1024 keeps 22.5% of pairs
+    # with max image error 3e-7 on this checkpoint (CPU study, round 4).
+    # trunc_pairs is demand-sized like --auto_pairs would.
+    try:
+        tcfg0 = cfg.with_(tile_rank_cap=1024)
+        tprobe = jax.jit(
+            lambda p, a: pair_demand(
+                p, c2w, fx, fy, jnp.float32(width / 2),
+                jnp.float32(height / 2), tcfg0, alive=a,
+            )
+        )
+        tdemand = int(tprobe(pool.params, pool.alive)[2])
+        tcfg = tcfg0.with_(
+            trunc_pairs=max(4096, -(-int(tdemand * 1.2) // 4096) * 4096)
+        )
+        tfwd = jax.jit(
+            lambda p, a: render_from_params(
+                p, c2w, fx, fy, jnp.float32(width / 2),
+                jnp.float32(height / 2), tcfg, alive=a,
+            )
+        )
+        timg, taux = tfwd(pool.params, pool.alive)
+        timg.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            timg, taux = tfwd(pool.params, pool.alive)
+        timg.block_until_ready()
+        tdt = (time.perf_counter() - t0) / iters
+        out.update({
+            "fps_trained_ckpt_trunc": round(1.0 / tdt, 3),
+            "trained_ckpt_pairs_kept": int(taux.num_pairs_kept),
+            "trained_ckpt_trunc_capacity": tcfg.trunc_padded_pairs,
+            "trained_ckpt_trunc_img_err": round(
+                float(jnp.abs(timg - img).max()), 8
+            ),
+        })
+    except Exception as e:
+        out["fps_trained_ckpt_trunc_error"] = f"{type(e).__name__}: {e}"[:200]
     # Demand-sized capacity (the deployed configuration: render_trained.py
     # --auto_pairs probes demand and right-sizes the static capacities, so
     # every pairs-sized sort/gather/launch runs at workload size). The

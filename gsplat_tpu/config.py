@@ -113,6 +113,24 @@ class RenderConfig:
     # gaussians from the back of the depth order and is reported via
     # RenderAux.num_rows / row_capacity — never silent.
     max_rows: int = 0
+    # Per-tile depth-rank truncation (round-4 perf lever): keep only the
+    # FRONT-MOST `tile_rank_cap` pairs of every tile (rounded up to a
+    # pair_block multiple). The pair-count distribution of trained scenes
+    # is extremely tail-heavy (bench ckpt: p99 tiles hold ~8700 pairs,
+    # median 0 — rank 1024 keeps only 22.5% of pairs), and deep-ranked
+    # pairs sit behind hundreds of closer splats, so their transmittance
+    # is ~0. After the binning sort, kept blocks are COMPACTED into a
+    # smaller static pair list (`trunc_pairs` capacity), shrinking the
+    # pair-feature gather and the kernel grid to the pairs that can
+    # actually contribute. 0 = off (exact). Same semantics as the XLA
+    # fallback's front-most `max_per_tile` truncation.
+    tile_rank_cap: int = 0
+    # Static capacity of the truncated pair list (rounded up to a
+    # pair_block multiple). 0 = the worst case num_tiles * tile_rank_cap
+    # (capped at padded_pairs); size it from pair_demand() like max_pairs.
+    # Overflow drops whole trailing-tile blocks and is REPORTED via
+    # RenderAux (never silent).
+    trunc_pairs: int = 0
     # Batched-view rendering (render.py::render_batch_from_params): B views
     # are stacked into one virtual image of B * padded_height rows. uv stays
     # VIEW-LOCAL; the rasterizer maps a tile row to its pixel row modulo
@@ -148,6 +166,26 @@ class RenderConfig:
     @property
     def num_pair_blocks(self) -> int:
         return self.padded_pairs // self.pair_block
+
+    @property
+    def rank_cap_blocks(self) -> int:
+        """Per-tile block cap of the rank truncation (0 = off)."""
+        return cdiv(self.tile_rank_cap, self.pair_block)
+
+    @property
+    def trunc_padded_pairs(self) -> int:
+        """Static capacity of the block-compacted truncated pair list."""
+        if not self.tile_rank_cap:
+            return self.padded_pairs
+        if self.trunc_pairs:
+            cap = cdiv(self.trunc_pairs, self.pair_block) * self.pair_block
+        else:
+            cap = self.num_tiles * self.rank_cap_blocks * self.pair_block
+        return min(cap, self.padded_pairs)
+
+    @property
+    def num_trunc_blocks(self) -> int:
+        return self.trunc_padded_pairs // self.pair_block
 
     @property
     def compact_pairs(self) -> int:

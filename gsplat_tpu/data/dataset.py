@@ -30,35 +30,58 @@ from .images import list_images, load_image, resize_image
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Run any (endless or finite) iterator in a daemon thread with a
-    bounded queue; exceptions propagate to the consumer."""
+    bounded queue; exceptions propagate to the consumer.
+
+    The worker NEVER blocks uninterruptibly on ``q.put``: consumers like
+    fit() abandon the generator after N steps, and a daemon thread parked
+    forever in ``q.put`` can hit CPython 3.12's fatal shutdown abort when
+    it wakes during interpreter finalization (the round-3 queue's
+    "Fatal Python error: Aborted" with threads parked in queue.put,
+    .tpuruns/pytest_r3c.log). Closing/GC-ing the generator stops the
+    worker within ~0.1 s."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded-queue put that gives up once the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # surface in the consumer thread
-            q.put(("__prefetch_error__", e))
-        q.put(_END)
+            _put(("__prefetch_error__", e))
+        _put(_END)
 
     threading.Thread(target=worker, daemon=True).start()
 
     def gen():
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if (
-                isinstance(item, tuple)
-                and len(item) == 2
-                and item[0] == "__prefetch_error__"
-            ):
-                raise item[1]
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if (
+                    isinstance(item, tuple)
+                    and len(item) == 2
+                    and item[0] == "__prefetch_error__"
+                ):
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()  # abandoning the generator releases the worker
 
     return gen()
 

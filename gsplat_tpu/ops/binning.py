@@ -87,6 +87,15 @@ class TileBinning(NamedTuple):
     # True (gaussian, tile-row) demand of the ellipse expansion's row stage
     # (0 in rect mode); may exceed cfg.row_capacity — reported, never silent.
     num_rows: jnp.ndarray | None = None
+    # Per-tile rank truncation (cfg.tile_rank_cap > 0): the pair list above
+    # is the block-COMPACTED truncated layout (length trunc_padded_pairs).
+    # num_pairs_kept = real pairs surviving the per-tile cap;
+    # trunc_demand = block-aligned slots the kept blocks need — compare
+    # against cfg.trunc_padded_pairs for static-capacity overflow (whole
+    # trailing-tile blocks are dropped when it exceeds; reported, never
+    # silent). Both equal num_pairs / 0 when truncation is off.
+    num_pairs_kept: jnp.ndarray | None = None
+    trunc_demand: jnp.ndarray | None = None
 
 
 def depth_order_and_rank(depth: jnp.ndarray, valid: jnp.ndarray):
@@ -534,10 +543,68 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     block_meta = pack_block_meta(
         block_tile.astype(jnp.int32), block_first.astype(jnp.int32)
     )
+    tile_start = padded_start[:num_tiles]
+    kept_pairs = total
+    trunc_demand = jnp.int32(0)
+
+    if cfg.tile_rank_cap:
+        # --- per-tile rank truncation: compact the kept blocks ---
+        # Deep-ranked pairs (rank >= tile_rank_cap within their tile) sit
+        # behind hundreds of closer splats; dropping them approximates the
+        # composite like the XLA fallback's front-most max_per_tile cap.
+        # Kept blocks are the first Kb blocks of every tile — a CONTIGUOUS
+        # subsequence per tile — so compaction is a block-granular gather
+        # (num_trunc_blocks indices moving whole [16, G] rows: index-count
+        # cheap, bandwidth-bound), not a pairs-sized index op.
+        Kb = cfg.rank_cap_blocks
+        keepb = jnp.minimum(padded_count // G, Kb)  # [num_tiles] blocks
+        new_start_b = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(keepb, dtype=jnp.int32)]
+        )  # [num_tiles + 1]
+        n_new = cfg.num_trunc_blocks
+        nb0 = jnp.arange(n_new, dtype=jnp.int32)
+        # Owner tile per new block: histogram of new starts + cumsum (the
+        # same gather-free trick as block_tile above).
+        nhist = jnp.zeros(n_new + 1, jnp.int32).at[
+            jnp.clip(new_start_b, 0, n_new)
+        ].add(1)
+        nb_tile = jnp.clip(
+            jnp.cumsum(nhist)[:n_new] - 1, 0, num_tiles - 1
+        )
+        nb_used = nb0 < new_start_b[num_tiles]
+        src_block = jnp.clip(
+            padded_start[nb_tile] // G + (nb0 - new_start_b[nb_tile]),
+            0, num_blocks - 1,
+        )
+        nb_first = jnp.where(
+            nb_used, (nb0 == new_start_b[nb_tile]).astype(jnp.int32), -1
+        )
+        block_meta = pack_block_meta(nb_tile.astype(jnp.int32), nb_first)
+        pair_slot = jnp.where(
+            nb_used[:, None], pair_slot.reshape(num_blocks, G)[src_block], -1
+        ).reshape(-1)
+        perm = jnp.where(
+            nb_used[:, None], perm.reshape(num_blocks, G)[src_block], cap
+        ).reshape(-1)
+        cap_t = Kb * G
+        kept_pairs = jnp.sum(jnp.minimum(tile_count, cap_t))
+        trunc_demand = new_start_b[num_tiles] * G  # block-aligned slots
+        tile_start = jnp.minimum(new_start_b[:num_tiles] * G,
+                                 cfg.trunc_padded_pairs - 1)
+        # Static-capacity overflow drops trailing blocks: a tile whose
+        # FIRST block fell past the capacity is never written by the
+        # kernel — zero its count so the occupied mask stays truthful
+        # (tiles losing only their deeper blocks keep a front-most prefix
+        # composite; the overflow itself is reported via trunc_demand).
+        tile_count = jnp.where(
+            new_start_b[:num_tiles] < n_new,
+            jnp.minimum(tile_count, cap_t),
+            0,
+        )
 
     return TileBinning(
         pair_slot=pair_slot,
-        tile_start=padded_start[:num_tiles],
+        tile_start=tile_start,
         tile_count=tile_count,
         block_meta=block_meta,
         num_pairs=total,
@@ -545,6 +612,8 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
         perm=perm,
         gauss_offsets=offsets,
         num_rows=ex["rows_total"],
+        num_pairs_kept=kept_pairs,
+        trunc_demand=trunc_demand,
     )
 
 
@@ -588,6 +657,11 @@ def bin_gaussians_compact(
     `padded_pairs` (= max_pairs + num_tiles*(pair_block-1)) — at 1080p that
     removes ~1M dead slots from every pairs-sized sort/gather downstream.
     """
+    if cfg.tile_rank_cap:
+        raise ValueError(
+            "tile_rank_cap is not supported by the compact (pallas_seg) "
+            "layout; use backend='pallas' or 'xla'"
+        )
     num_tiles = cfg.num_tiles
     cap = cfg.max_pairs
     cap_m = cfg.compact_pairs

@@ -339,7 +339,7 @@ def _bwd_kernel(block_meta_ref, feat_ref, fwd_ref, gout_ref,
 
 def _fwd_pallas(pair_feat, block_meta, cfg: RenderConfig):
     P = cfg.tile * cfg.tile
-    num_blocks = cfg.num_pair_blocks
+    num_blocks = cfg.num_trunc_blocks
     G = cfg.pair_block
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -363,7 +363,7 @@ def _fwd_pallas(pair_feat, block_meta, cfg: RenderConfig):
 
 def _bwd_pallas(pair_feat, block_meta, fwd_out, gout, cfg: RenderConfig):
     P = cfg.tile * cfg.tile
-    num_blocks = cfg.num_pair_blocks
+    num_blocks = cfg.num_trunc_blocks
     G = cfg.pair_block
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -383,7 +383,7 @@ def _bwd_pallas(pair_feat, block_meta, fwd_out, gout, cfg: RenderConfig):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((FEAT_WIDTH, cfg.padded_pairs),
+        out_shape=jax.ShapeDtypeStruct((FEAT_WIDTH, cfg.trunc_padded_pairs),
                                        jnp.float32),
         interpret=_use_interpret(),
     )(block_meta, pair_feat, fwd_out, gout)

@@ -64,6 +64,13 @@ class RenderAux(NamedTuple):
     # whole far gaussians — reported here, never silent).
     num_rows: jnp.ndarray | None = None
     row_capacity: int = 0
+    # Per-tile rank truncation (cfg.tile_rank_cap): pairs surviving the cap
+    # and the block-aligned slot demand vs the static trunc capacity
+    # (trunc_demand > trunc_capacity means trailing-tile blocks were
+    # dropped — reported, never silent).
+    num_pairs_kept: jnp.ndarray | None = None
+    trunc_demand: jnp.ndarray | None = None
+    trunc_capacity: int = 0
 
 
 def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
@@ -138,8 +145,9 @@ def _pair_features(proj: ProjectedGaussians, colors: jnp.ndarray, dtype):
     return jnp.where(proj.valid[:, None], feat, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def gather_pair_features(cap: int, feat10, pair_slot, perm, gauss_offsets):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def gather_pair_features(cap: int, truncated: bool, feat10, pair_slot, perm,
+                         gauss_offsets):
     """Expand per-gaussian features to the sorted pair list, [10, padded].
 
     Forward: one pairs-sized gather through the depth-rank index
@@ -162,29 +170,47 @@ def gather_pair_features(cap: int, feat10, pair_slot, perm, gauss_offsets):
          N-sized gathers.
     Replaces autograd through the reference's repeat_interleave expansion
     (/root/reference/gaussian_splatting/render.py:251-281).
+
+    ``truncated`` (per-tile rank truncation, cfg.tile_rank_cap): the pair
+    list holds a rank-dependent SUBSET of each gaussian's pairs, so the
+    presort segment boundaries shift to "number of kept pairs with presort
+    index < offsets[i]" — recovered from the sorted perm row itself with
+    one searchsorted(method='sort') over the N+1 boundaries (a sort, not a
+    per-query scan; the N-query scan form is the measured-catastrophic
+    one). Dropped pairs contribute exactly zero gradient, matching their
+    zero contribution to the truncated forward.
     """
     n = feat10.shape[0]
     out = feat10[jnp.clip(pair_slot, 0, n - 1)].T  # [10, padded_pairs]
     return jnp.where(pair_slot[None, :] >= 0, out, 0.0)
 
 
-def _gpf_fwd(cap, feat10, pair_slot, perm, gauss_offsets):
-    out = gather_pair_features(cap, feat10, pair_slot, perm, gauss_offsets)
+def _gpf_fwd(cap, truncated, feat10, pair_slot, perm, gauss_offsets):
+    out = gather_pair_features(
+        cap, truncated, feat10, pair_slot, perm, gauss_offsets
+    )
     return out, (pair_slot, perm, gauss_offsets, feat10.shape[0])
 
 
-def _gpf_bwd(cap, res, g):
+def _gpf_bwd(cap, truncated, res, g):
     pair_slot, perm, gauss_offsets, n = res
     rows = g.shape[0]
     sorted_ops = lax.sort(
         (perm,) + tuple(g[i] for i in range(rows)), num_keys=1
     )
-    dpre = jnp.stack(sorted_ops[1:], axis=0)[:, :cap]  # presort order
+    if truncated:
+        dpre = jnp.stack(sorted_ops[1:], axis=0)
+        bounds = jnp.searchsorted(
+            sorted_ops[0], gauss_offsets, side="left", method="sort"
+        ).astype(jnp.int32)
+    else:
+        dpre = jnp.stack(sorted_ops[1:], axis=0)[:, :cap]  # presort order
+        bounds = gauss_offsets
     c = jnp.cumsum(dpre, axis=1)
     cpad = jnp.concatenate([jnp.zeros((rows, 1), g.dtype), c], axis=1)
     # Segment sums per depth-ranked gaussian (zero for overflow-dropped
     # gaussians, whose offsets collapse).
-    seg = cpad[:, gauss_offsets[1:]] - cpad[:, gauss_offsets[:-1]]  # [10, N]
+    seg = cpad[:, bounds[1:]] - cpad[:, bounds[:-1]]  # [10, N]
     zero_i32 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (
         seg.T,
@@ -213,8 +239,9 @@ def rasterize_binned_xla(
 
     # Flat per-pair features, tile-major depth-ordered. One global gather
     # through the depth order (pair_slot indexes depth-sorted gaussians).
-    cap = cfg.padded_pairs
-    s_idx = binning.pair_slot  # [padded_pairs], -1 = padding slot
+    # (pair_slot is the trunc-compacted layout when tile_rank_cap is set.)
+    cap = binning.pair_slot.shape[0]
+    s_idx = binning.pair_slot  # [cap], -1 = padding slot
     feat = _pair_features(proj, colors, dtype)[binning.depth_order]
     pair_feat = feat[jnp.clip(s_idx, 0, feat.shape[0] - 1)]  # [cap, 9]
     pair_feat = jnp.where(s_idx[:, None] >= 0, pair_feat, 0.0)
@@ -275,6 +302,9 @@ def rasterize_binned_xla(
         alpha=1.0 - planes[..., 4],
         num_rows=binning.num_rows,
         row_capacity=cfg.row_capacity if cfg.cull_mode == "ellipse" else 0,
+        num_pairs_kept=binning.num_pairs_kept,
+        trunc_demand=binning.trunc_demand,
+        trunc_capacity=cfg.trunc_padded_pairs if cfg.tile_rank_cap else 0,
     )
     return img, aux._replace(screen_radius=proj.radius)
 
@@ -315,7 +345,8 @@ def rasterize_binned_pallas(
     # gradient). The custom VJP reduces per-pair grads via the presort
     # permutation instead of a duplicate-index scatter-add.
     pair_feat10 = gather_pair_features(
-        cfg.max_pairs, feat10, s_idx, binning.perm, binning.gauss_offsets
+        cfg.max_pairs, cfg.tile_rank_cap > 0, feat10, s_idx,
+        binning.perm, binning.gauss_offsets,
     )
     pair_feat = jnp.concatenate(
         [
@@ -352,6 +383,9 @@ def rasterize_binned_pallas(
         alpha=1.0 - planes[..., 4],
         num_rows=binning.num_rows,
         row_capacity=cfg.row_capacity if cfg.cull_mode == "ellipse" else 0,
+        num_pairs_kept=binning.num_pairs_kept,
+        trunc_demand=binning.trunc_demand,
+        trunc_capacity=cfg.trunc_padded_pairs if cfg.tile_rank_cap else 0,
     )
     return img, aux._replace(screen_radius=proj.radius)
 
@@ -391,7 +425,7 @@ def rasterize_binned_seg(
     P = T * T
     feat10 = _pair_features(proj, colors, jnp.float32)[binning.depth_order]
     pf10 = gather_pair_features(
-        cfg.max_pairs, feat10, binning.pair_slot, binning.perm,
+        cfg.max_pairs, False, feat10, binning.pair_slot, binning.perm,
         binning.gauss_offsets,
     )
     # Tile-local pixel coordinates + the per-pair tile-id row the kernel

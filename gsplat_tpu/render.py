@@ -85,14 +85,16 @@ def pair_demand(
     cfg: RenderConfig,
     alive: jnp.ndarray | None = None,
 ):
-    """True (pair, row) demand of a view — projection + binning only.
+    """True (pair, row, trunc) demand of a view — projection + binning only.
 
     A cheap-to-compile probe (no rasterization kernel) for demand-driven
     capacity sizing: `TileBinning.num_pairs`/`num_rows` report the TRUE
     demand even when it exceeds cfg's static capacities, so callers can
     probe with a generous cfg and then rebuild a right-sized one (see
     render_trained.py --auto_pairs; fit() does the same reactively from
-    step metrics).
+    step metrics). Returns (num_pairs, num_rows, trunc_demand) —
+    trunc_demand is the block-aligned slot demand AFTER the per-tile rank
+    cap (0 when cfg.tile_rank_cap is off); size cfg.trunc_pairs from it.
     """
     from .ops.binning import bin_gaussians
 
@@ -102,7 +104,7 @@ def pair_demand(
         cfg, extra_valid=alive,
     )
     binning = bin_gaussians(proj, cfg)
-    return binning.num_pairs, binning.num_rows
+    return binning.num_pairs, binning.num_rows, binning.trunc_demand
 
 
 def render_from_params(

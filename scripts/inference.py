@@ -55,6 +55,10 @@ def main():
                    choices=("rect", "ellipse"),
                    help="tile culling granularity (ellipse: exact per-row "
                         "intervals, fewer pairs, identical images)")
+    p.add_argument("--tile_rank_cap", type=int, default=0,
+                   help="keep only the front-most K pairs per tile "
+                        "(K=1024: ~4x fewer pairs at ~1e-7 image error on "
+                        "trained scenes); 0 = exact")
     p.add_argument("--transmittance_math", default="cumprod",
                    choices=("log", "cumprod"))
     p.add_argument("--background", default="black",
@@ -104,6 +108,7 @@ def main():
 
     cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
                        backend=args.backend, cull_mode=args.cull_mode,
+                       tile_rank_cap=args.tile_rank_cap,
                        transmittance_math=args.transmittance_math,
                        aa_mode=args.aa_mode,
                        background=parse_background(args.background))

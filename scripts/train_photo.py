@@ -44,6 +44,23 @@ def main():
     p.add_argument("--sh_warmup_interval", type=int, default=0)
     p.add_argument("--adc_mode", default="reference",
                    choices=("reference", "paper"))
+    # ADC tuning (the round-3 full-scale run under-densified to 611
+    # splats / 23.5 dB: the reference's world-space max_grad=0.01 never
+    # fires on this scene — typical position gradients are 1e-5..1e-3).
+    p.add_argument("--max_grad", type=float, default=None,
+                   help="reference-mode world-space grad threshold "
+                        "(TrainConfig default 0.01)")
+    p.add_argument("--densify_grad_threshold", type=float, default=None,
+                   help="paper-mode view-space grad threshold in px "
+                        "(TrainConfig default 2e-4)")
+    p.add_argument("--scene_extent", type=float, default=2.8,
+                   help="paper-mode scene extent (camera arc radius of the "
+                        "plane scene)")
+    p.add_argument("--percent_dense", type=float, default=None)
+    p.add_argument("--opacity_reset_interval", type=int, default=None,
+                   help="default: off for short runs (a reset near the end "
+                        "of a short run leaves no iterations to recover)")
+    p.add_argument("--densification_interval", type=int, default=None)
     p.add_argument("--backend", default="auto",
                    choices=("auto", "pallas", "pallas_seg", "xla"))
     p.add_argument("--json", action="store_true", help="print JSON only")
@@ -73,15 +90,32 @@ def main():
         height=train_ds.height, width=train_ds.width,
         max_pairs=args.max_pairs, backend=args.backend,
     )
+    adc_kw = {}
+    if args.max_grad is not None:
+        adc_kw["max_grad"] = args.max_grad
+    if args.densify_grad_threshold is not None:
+        adc_kw["densify_grad_threshold"] = args.densify_grad_threshold
+    if args.percent_dense is not None:
+        adc_kw["percent_dense"] = args.percent_dense
+    if args.densification_interval is not None:
+        adc_kw["densification_interval"] = args.densification_interval
+    # Opacity resets need thousands of iterations of recovery; default them
+    # off for runs shorter than two reset intervals.
+    reset = (args.opacity_reset_interval
+             if args.opacity_reset_interval is not None
+             else (3000 if args.iterations >= 6000 else 10**9))
     train_cfg = TrainConfig(
         iterations=args.iterations,
         batch_size=args.batch_size,
         capacity=args.capacity,
         position_lr_max_steps=args.iterations,
         adc_mode=args.adc_mode,
+        scene_extent=args.scene_extent,
+        opacity_reset_interval=reset,
         batched_render=args.batched_render,
         sh_warmup_interval=args.sh_warmup_interval,
         checkpoint_interval=10**9,
+        **adc_kw,
     )
     t0 = time.time()
     state, report = fit(

@@ -208,6 +208,95 @@ def test_seg_saturated_scene_early_exit_correct():
 # retired in round 4: it regressed the trained-checkpoint bench in two
 # straight rounds (NEXT.md §15); its tests went with it.
 
+
+# --- per-tile rank truncation (cfg.tile_rank_cap) --------------------------
+
+def _dense_scene():
+    """A scene whose tiles exceed the rank cap (dim, overlapping splats)."""
+    rng = np.random.default_rng(11)
+    n = 1200
+    return {
+        "pos": np.stack(
+            [rng.uniform(-0.4, 0.4, n), rng.uniform(-0.4, 0.4, n),
+             rng.uniform(3, 8, n)], -1
+        ).astype(np.float32),
+        "scale_raw": (rng.normal(0, 0.3, (n, 3)) - 1.4).astype(np.float32),
+        "q_raw": (rng.normal(0, 1, (n, 4))
+                  + np.array([0, 0, 0, 2])).astype(np.float32),
+        # Dim splats: the saturation early-exit rarely fires, so truncation
+        # is exercised on tiles that do NOT saturate.
+        "opacity_raw": rng.normal(-1.5, 0.8, n).astype(np.float32),
+        "f_dc": rng.normal(0, 0.8, (n, 3)).astype(np.float32),
+        "f_rest": rng.normal(0, 0.05, (n, 45)).astype(np.float32),
+    }
+
+
+def test_rank_truncation_matches_xla_per_tile_cap():
+    """tile_rank_cap=K on the pallas path must reproduce the XLA fallback's
+    front-most max_per_tile=K truncation exactly (same kept set), and must
+    actually drop pairs on this scene."""
+    params = {k: jnp.asarray(v) for k, v in _dense_scene().items()}
+    c2w = jnp.eye(4)
+    K = 32  # multiple of pair_block
+    base = CFG.with_(max_pairs=2**15, max_per_tile=4096)
+    img_x, aux_x = _render(params, c2w, "xla",
+                           base.with_(max_per_tile=K))
+    img_p, aux_p = _render(params, c2w, "pallas",
+                           base.with_(tile_rank_cap=K))
+    assert int(aux_p.num_pairs_kept) < int(aux_p.num_pairs), (
+        "truncation test scene does not exceed the rank cap"
+    )
+    assert int(aux_p.trunc_demand) <= aux_p.trunc_capacity
+    err = float(jnp.max(jnp.abs(img_p - img_x)))
+    assert err < 2e-5, f"truncated pallas deviates from xla cap: {err}"
+
+    tgt = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    )
+
+    def loss(p, cfg):
+        img, _ = render_from_params(
+            p, c2w, CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"], cfg
+        )
+        return jnp.mean(jnp.abs(img - tgt)) + jnp.mean(img * img)
+
+    g_p = jax.grad(
+        lambda p: loss(p, base.with_(backend="pallas", tile_rank_cap=K))
+    )(params)
+    g_x = jax.grad(
+        lambda p: loss(p, base.with_(backend="xla", max_per_tile=K))
+    )(params)
+    for k in params:
+        scale = float(jnp.max(jnp.abs(g_x[k]))) + 1e-12
+        err = float(jnp.max(jnp.abs(g_p[k] - g_x[k])))
+        assert err / scale < 5e-4, (
+            f"trunc grad[{k}]: max abs {err} (rel {err / scale:.2e})"
+        )
+
+
+def test_rank_truncation_static_capacity_overflow_reported():
+    """trunc_pairs smaller than demand: trailing-tile blocks drop, the image
+    stays finite, and the overflow is REPORTED (never silent)."""
+    params = {k: jnp.asarray(v) for k, v in _dense_scene().items()}
+    cfg = CFG.with_(max_pairs=2**15, max_per_tile=4096, backend="pallas",
+                    tile_rank_cap=32, trunc_pairs=8 * 32)
+    img, aux = _render(params, jnp.eye(4), "pallas", cfg)
+    assert int(aux.trunc_demand) > aux.trunc_capacity
+    assert bool(jnp.isfinite(img).all())
+
+
+def test_rank_truncation_off_is_exact():
+    """tile_rank_cap larger than every tile's demand must be bit-identical
+    to the untruncated render (the compaction is a pure relayout then)."""
+    scene = make_scene(None, n=192, seed_offset=6)
+    params = _params(scene)
+    c2w = jnp.asarray(scene["c2w"])
+    img_0, _ = _render(params, c2w, "pallas")
+    img_t, aux_t = _render(params, c2w, "pallas",
+                           CFG.with_(tile_rank_cap=CFG.max_per_tile))
+    assert int(aux_t.num_pairs_kept) == int(aux_t.num_pairs)
+    assert float(jnp.max(jnp.abs(img_t - img_0))) == 0.0
+
 def test_cumprod_transmittance_matches_log():
     """transmittance_math="cumprod" (exact two-level product, zero
     transcendentals; the default since the round-3 TPU A/B) must agree
