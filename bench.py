@@ -294,6 +294,30 @@ def bench_checkpoint(path, height, width, iters):
                 float(jnp.abs(timg - img).max()), 8
             ),
         })
+
+        # fwd+bwd on the trained distribution, full vs truncated (the
+        # backward kernel + its VJP sort shrink with the kept set too).
+        def _fwd_bwd_fps(c):
+            def loss(p, a):
+                im, _ = render_from_params(
+                    p, c2w, fx, fy, jnp.float32(width / 2),
+                    jnp.float32(height / 2), c, alive=a,
+                )
+                return jnp.mean(im) + jnp.mean(im * im)
+
+            vg = jax.jit(jax.grad(loss))
+            g = vg(pool.params, pool.alive)
+            jax.block_until_ready(g)
+            t0 = time.perf_counter()
+            for _ in range(max(iters // 2, 3)):
+                g = vg(pool.params, pool.alive)
+            float(g["pos"][0, 0])  # host fetch = reliable sync on axon
+            return round(
+                max(iters // 2, 3) / (time.perf_counter() - t0), 3
+            )
+
+        out["fwd_bwd_fps_trained_ckpt"] = _fwd_bwd_fps(cfg)
+        out["fwd_bwd_fps_trained_ckpt_trunc"] = _fwd_bwd_fps(tcfg)
     except Exception as e:
         out["fps_trained_ckpt_trunc_error"] = f"{type(e).__name__}: {e}"[:200]
     # Demand-sized capacity (the deployed configuration: render_trained.py

@@ -41,13 +41,17 @@ def main():
     ap.add_argument("--checkpoint", default=None,
                     help="profile a trained .npz pool instead of the "
                          "synthetic scene")
+    ap.add_argument("--tile_rank_cap", type=int, default=0,
+                    help="per-tile rank truncation; trunc_pairs is "
+                         "demand-sized from one probe binning run")
     args = ap.parse_args()
 
     n = 2**17
     cfg = RenderConfig(height=args.height, width=args.width,
                        max_pairs=args.max_pairs,
                        max_per_tile=2048, tile_chunk=32,
-                       cull_mode=args.cull_mode, max_rows=args.max_rows)
+                       cull_mode=args.cull_mode, max_rows=args.max_rows,
+                       tile_rank_cap=args.tile_rank_cap)
     params = make_scene(n)
     alive = None
     if args.checkpoint:
@@ -67,6 +71,21 @@ def main():
     fx = fy = jnp.float32(0.85 * args.width)
     cx = jnp.float32(args.width / 2.0)
     cy = jnp.float32(args.height / 2.0)
+
+    if args.tile_rank_cap:
+        # Demand-size the truncated capacity from one probe binning run
+        # (what --auto_pairs does in the serving CLI).
+        pcov = jax.jit(
+            lambda p: build_cov3d_packed(p["scale_raw"], p["q_raw"])
+        )(params)
+        pproj = jax.jit(lambda p, cov: project_gaussians(
+            p["pos"], cov, p["opacity_raw"], c2w, fx, fy, cx, cy, cfg,
+            extra_valid=alive))(params, pcov)
+        td = int(jax.jit(lambda pr: bin_gaussians(pr, cfg).trunc_demand)(pproj))
+        cfg = cfg.with_(
+            trunc_pairs=max(4096, -(-int(td * 1.2) // 4096) * 4096)
+        )
+        print(f"trunc slot demand {td} -> trunc_pairs {cfg.trunc_pairs}")
 
     cov_fn = jax.jit(lambda p: build_cov3d_packed(p["scale_raw"], p["q_raw"]))
     sh_fn = jax.jit(lambda p: evaluate_sh(p["f_dc"], p["f_rest"], p["pos"], c2w))
@@ -94,8 +113,9 @@ def main():
                                fx, fy, cx, cy, cfg, extra_valid=alive)
         b = bin_gaussians(pr, cfg)
         f10 = _pair_features(pr, col, jnp.float32)[b.depth_order]
-        return gather_pair_features(cfg.max_pairs, f10, b.pair_slot,
-                                    b.perm, b.gauss_offsets)
+        return gather_pair_features(cfg.max_pairs, cfg.tile_rank_cap > 0,
+                                    f10, b.pair_slot, b.perm,
+                                    b.gauss_offsets)
 
     t_pf_fwd, _ = timeit(jax.jit(lambda p: to_pf(p).sum()), params)
     t_pf_bwd, _ = timeit(

@@ -221,6 +221,16 @@ def main():
         rk = max(d[1] for d in demands)
         tk = max(d[2] for d in demands)
         new_pairs = max(4096, -(-int(pk * 1.2) // 4096) * 4096)
+        if new_pairs > args.max_pairs:
+            # NEVER grow past the CLI bound: binning cost scales with
+            # max_pairs (the r4 queue measured 300 ms/frame at an
+            # auto-grown 46M), and capacity overflow is reported by the
+            # render loop — dropping the farthest splats on extreme
+            # close-ins is the better serving tradeoff.
+            print(f"auto_pairs: demand {pk} exceeds --max_pairs "
+                  f"{args.max_pairs}; clamping (farthest splats drop on "
+                  f"overflow frames — raise --max_pairs for exactness)")
+            new_pairs = args.max_pairs
         kw = {"max_pairs": new_pairs}
         if cfg.cull_mode == "ellipse":
             kw["max_rows"] = max(4096, -(-int(rk * 1.2) // 4096) * 4096)

@@ -38,6 +38,11 @@ def main():
                         "intervals, fewer pairs, identical images)")
     p.add_argument("--transmittance_math", default="cumprod",
                    choices=("log", "cumprod"))
+    p.add_argument("--tile_rank_cap", type=int, default=0,
+                   help="keep only the front-most K pairs per tile "
+                        "(K=1024: ~4x fewer pairs at ~0 image error on "
+                        "trained scenes; small quality-neutral speedup "
+                        "for training too); 0 = exact")
     p.add_argument("--background", default="black",
                    help="render background: 'black' (reference parity), "
                         "'white' (Blender-style), or 'r,g,b'")
@@ -117,6 +122,7 @@ def main():
         backend=args.backend,
         cull_mode=args.cull_mode,
         transmittance_math=args.transmittance_math,
+        tile_rank_cap=args.tile_rank_cap,
         aa_mode=args.aa_mode,
         background=parse_background(args.background),
     )
