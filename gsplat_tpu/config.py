@@ -251,7 +251,10 @@ class TrainConfig:
     # scene-extent-relative size rules, split-replaces-parent, optional
     # screen-size pruning) — the known-better option on real scenes.
     adc_mode: str = "reference"
-    densify_grad_threshold: float = 0.0002  # paper view-space threshold (px)
+    # Paper-ADC view-space gradient threshold, in the original paper's NDC
+    # units (the statistic scales pixel-space tap grads by (W/2, H/2), so
+    # the INRIA default 2e-4 carries over directly).
+    densify_grad_threshold: float = 0.0002
     percent_dense: float = 0.01
     scene_extent: float = 5.0
     min_opacity: float = 0.005

@@ -76,13 +76,14 @@ class TileBinning(NamedTuple):
     block_meta: jnp.ndarray  # [num_blocks] int32 packed block metadata
     num_pairs: jnp.ndarray  # [] int32 true pair count (may exceed capacity!)
     depth_order: jnp.ndarray  # [N] int32 gaussian indices sorted by depth
-    # Pre-sort (gaussian-major) pair index of each sorted pair; cfg.max_pairs
-    # for padding slots. Carried through the sort as a payload so the
-    # backward pass can land per-pair gradients in PRE-SORT order, where
-    # each gaussian's pairs are CONTIGUOUS — turning the per-gaussian
-    # gradient reduction into cumsum + segment-diff instead of a pairs-sized
-    # duplicate-index scatter-add (the round-1 65 ms backward bottleneck).
-    perm: jnp.ndarray  # [padded_pairs] int32 presort pair index
+    # Presort (gaussian-major) segment boundaries per depth-ranked gaussian:
+    # the backward pass re-sorts per-pair gradients keyed by ``pair_slot``
+    # (grouping by owning gaussian — within-gaussian order is irrelevant to
+    # the segment SUM), then reduces with cumsum + segment-diff at these
+    # boundaries instead of a pairs-sized duplicate-index scatter-add (the
+    # round-1 65 ms backward bottleneck). No presort-index payload rides
+    # the main binning sort (round 4: payload rows cost ~2.6 ms each at
+    # bench scale and pair_slot already identifies the gaussian).
     gauss_offsets: jnp.ndarray  # [N+1] int32 presort segment boundaries
     # True (gaussian, tile-row) demand of the ellipse expansion's row stage
     # (0 in rect mode); may exceed cfg.row_capacity — reported, never silent.
@@ -466,17 +467,11 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
     pad_tile = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
     pad_active = pad_col < pad_count[:, None]
 
-    # Payload carried through the sort: the presort pair index (cap for
-    # padding slots — out-of-range so backward scatters drop it).
-    payload_in = jnp.concatenate(
-        [
-            jnp.arange(cap, dtype=jnp.int32),
-            jnp.full((cap_pad - cap,), cap, jnp.int32),
-        ]
-    )
     if (num_tiles + 1) * (n + 1) < 2**31:
-        # Packed single-key sort (keys are unique for real pairs, so
-        # stability is irrelevant; measured ~15% faster than 2-key form).
+        # Packed single-key PAYLOAD-FREE sort (keys are unique for real
+        # pairs, so stability is irrelevant; each extra payload row costs
+        # ~2.6 ms at bench scale — the backward reduction keys on
+        # pair_slot instead, see gather_pair_features).
         sentinel = num_tiles * (n + 1) + n
         key_real = jnp.where(
             pair_ok, tile_id * (n + 1) + slot, sentinel
@@ -491,10 +486,9 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
                 jnp.full((cap_pad - cap - n_pad_slots,), sentinel, jnp.int32),
             ]
         )
-        sorted_key, perm = lax.sort((keys, payload_in), num_keys=1)
+        (sorted_key,) = lax.sort((keys,), num_keys=1)
         pair_slot = sorted_key % (n + 1)
         pair_slot = jnp.where(pair_slot == n, -1, pair_slot)
-        perm = jnp.where(pair_slot >= 0, perm, cap)
     else:
         slot = jnp.where(pair_ok, slot, n)
         tile_real = jnp.where(pair_ok, tile_id, num_tiles)
@@ -508,12 +502,11 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
         slots_all = jnp.concatenate(
             [slot, jnp.full((n_pad_slots + tail,), n, jnp.int32)]
         )
-        _, pair_slot, perm = lax.sort(
-            (tiles_all * 2 + (slots_all == n), slots_all, payload_in),
+        _, pair_slot = lax.sort(
+            (tiles_all * 2 + (slots_all == n), slots_all),
             num_keys=2,
         )
         pair_slot = jnp.where(pair_slot == n, -1, pair_slot)
-        perm = jnp.where(pair_slot >= 0, perm, cap)
 
     # Per-block metadata: owning tile + first-block flag (scalar prefetch).
     # block_tile[b] = searchsorted(padded_start, b*G, 'right') - 1, but
@@ -583,9 +576,6 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
         pair_slot = jnp.where(
             nb_used[:, None], pair_slot.reshape(num_blocks, G)[src_block], -1
         ).reshape(-1)
-        perm = jnp.where(
-            nb_used[:, None], perm.reshape(num_blocks, G)[src_block], cap
-        ).reshape(-1)
         cap_t = Kb * G
         kept_pairs = jnp.sum(jnp.minimum(tile_count, cap_t))
         trunc_demand = new_start_b[num_tiles] * G  # block-aligned slots
@@ -609,7 +599,6 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
         block_meta=block_meta,
         num_pairs=total,
         depth_order=order,
-        perm=perm,
         gauss_offsets=offsets,
         num_rows=ex["rows_total"],
         num_pairs_kept=kept_pairs,
@@ -643,7 +632,6 @@ class CompactBinning(NamedTuple):
     num_pairs: jnp.ndarray  # [] int32 true pair demand (may exceed capacity)
     max_block_tiles: jnp.ndarray  # [] int32 max distinct tiles per block
     depth_order: jnp.ndarray  # [N] int32 gaussian indices sorted by depth
-    perm: jnp.ndarray  # [compact_pairs] int32 presort pair index (cap = pad)
     gauss_offsets: jnp.ndarray  # [N+1] int32 presort segment boundaries
     num_rows: jnp.ndarray | None = None  # row-stage demand (see TileBinning)
 
@@ -680,23 +668,16 @@ def bin_gaussians_compact(
         key = jnp.concatenate(
             [key, jnp.full((cap_m - cap,), sentinel, jnp.int32)]
         )
-    payload = jnp.concatenate(
-        [
-            jnp.arange(cap, dtype=jnp.int32),
-            jnp.full((cap_m - cap,), cap, jnp.int32),
-        ]
-    )
     if (num_tiles + 1) * (n + 1) >= 2**31:
         raise ValueError(
             "compact binning requires (num_tiles+1)*(N+1) < 2^31 for the "
             f"packed sort key (num_tiles={num_tiles}, N={n}); reduce the "
             "pool capacity or image size"
         )
-    sorted_key, perm = lax.sort((key, payload), num_keys=1)
+    (sorted_key,) = lax.sort((key,), num_keys=1)
     pair_slot = sorted_key % (n + 1)
     pair_tile = jnp.minimum(sorted_key // (n + 1), num_tiles)
     pair_slot = jnp.where(pair_slot == n, -1, pair_slot)
-    perm = jnp.where(pair_slot >= 0, perm, cap)
 
     tile_count = ex["tile_count"]
     tile_start = jnp.concatenate(
@@ -749,7 +730,6 @@ def bin_gaussians_compact(
         num_pairs=ex["total"],
         max_block_tiles=jnp.max(ntiles),
         depth_order=ex["order"],
-        perm=perm,
         gauss_offsets=ex["offsets"],
         num_rows=ex["rows_total"],
     )

@@ -146,7 +146,7 @@ def _pair_features(proj: ProjectedGaussians, colors: jnp.ndarray, dtype):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def gather_pair_features(cap: int, truncated: bool, feat10, pair_slot, perm,
+def gather_pair_features(cap: int, truncated: bool, feat10, pair_slot,
                          gauss_offsets):
     """Expand per-gaussian features to the sorted pair list, [10, padded].
 
@@ -157,54 +157,57 @@ def gather_pair_features(cap: int, truncated: bool, feat10, pair_slot, perm,
     Backward: the naive transpose is a pairs-sized DUPLICATE-index
     scatter-add — measured 63 ms on v5e at 2.6M pairs (and a unique-index
     scatter is 390 ms, a random big-table gather 70 ms: every XLA index op
-    on a pairs-sized array loses). Instead we exploit that each gaussian's
-    pairs are CONTIGUOUS in PRE-SORT (gaussian-major) order, and that
-    `lax.sort` STREAMS (measured 39 ms carrying 10 f32 payload rows at the
-    same scale):
-      1. one multi-operand sort keyed by the presort index `perm` lands the
-         per-pair cotangent rows in presort order (padding slots carry
-         perm == cap and sort to the tail, where their cotangents are the
-         kernel's zeros);
+    on a pairs-sized array loses). Instead we exploit that `lax.sort`
+    STREAMS (measured 39 ms carrying 10 f32 payload rows at the same
+    scale) and that the reduction is a per-gaussian SUM (within-gaussian
+    order is irrelevant):
+      1. one multi-operand sort keyed by ``pair_slot`` itself groups the
+         per-pair cotangent rows by owning gaussian (padding slots are
+         keyed to the tail, where their cotangents are the kernel's
+         zeros) — no presort-index payload ever rides the MAIN binning
+         sort (each payload row there costs ~2.6 ms at bench scale);
       2. cumsum along the pair axis;
-      3. per-gaussian grad = segment difference at `gauss_offsets` — two
+      3. per-gaussian grad = segment difference at `gauss_offsets` (group
+         sizes are exactly the per-gaussian footprint counts) — two
          N-sized gathers.
     Replaces autograd through the reference's repeat_interleave expansion
     (/root/reference/gaussian_splatting/render.py:251-281).
 
     ``truncated`` (per-tile rank truncation, cfg.tile_rank_cap): the pair
     list holds a rank-dependent SUBSET of each gaussian's pairs, so the
-    presort segment boundaries shift to "number of kept pairs with presort
-    index < offsets[i]" — recovered from the sorted perm row itself with
-    one searchsorted(method='sort') over the N+1 boundaries (a sort, not a
-    per-query scan; the N-query scan form is the measured-catastrophic
-    one). Dropped pairs contribute exactly zero gradient, matching their
-    zero contribution to the truncated forward.
+    group boundaries are no longer `gauss_offsets`; they are recovered as
+    "number of kept pairs with slot < i" via one
+    searchsorted(method='sort') of arange(N+1) over the sorted keys (a
+    sort, not a per-query scan; the N-query scan form is the
+    measured-catastrophic one). Dropped pairs contribute exactly zero
+    gradient, matching their zero contribution to the truncated forward.
     """
     n = feat10.shape[0]
     out = feat10[jnp.clip(pair_slot, 0, n - 1)].T  # [10, padded_pairs]
     return jnp.where(pair_slot[None, :] >= 0, out, 0.0)
 
 
-def _gpf_fwd(cap, truncated, feat10, pair_slot, perm, gauss_offsets):
+def _gpf_fwd(cap, truncated, feat10, pair_slot, gauss_offsets):
     out = gather_pair_features(
-        cap, truncated, feat10, pair_slot, perm, gauss_offsets
+        cap, truncated, feat10, pair_slot, gauss_offsets
     )
-    return out, (pair_slot, perm, gauss_offsets, feat10.shape[0])
+    return out, (pair_slot, gauss_offsets, feat10.shape[0])
 
 
 def _gpf_bwd(cap, truncated, res, g):
-    pair_slot, perm, gauss_offsets, n = res
+    pair_slot, gauss_offsets, n = res
     rows = g.shape[0]
+    key = jnp.where(pair_slot >= 0, pair_slot, n)  # padding groups last
     sorted_ops = lax.sort(
-        (perm,) + tuple(g[i] for i in range(rows)), num_keys=1
+        (key,) + tuple(g[i] for i in range(rows)), num_keys=1
     )
+    dpre = jnp.stack(sorted_ops[1:], axis=0)
     if truncated:
-        dpre = jnp.stack(sorted_ops[1:], axis=0)
         bounds = jnp.searchsorted(
-            sorted_ops[0], gauss_offsets, side="left", method="sort"
+            sorted_ops[0], jnp.arange(n + 1, dtype=jnp.int32), side="left",
+            method="sort",
         ).astype(jnp.int32)
     else:
-        dpre = jnp.stack(sorted_ops[1:], axis=0)[:, :cap]  # presort order
         bounds = gauss_offsets
     c = jnp.cumsum(dpre, axis=1)
     cpad = jnp.concatenate([jnp.zeros((rows, 1), g.dtype), c], axis=1)
@@ -215,7 +218,6 @@ def _gpf_bwd(cap, truncated, res, g):
     return (
         seg.T,
         zero_i32(pair_slot),
-        zero_i32(perm),
         zero_i32(gauss_offsets),
     )
 
@@ -346,7 +348,7 @@ def rasterize_binned_pallas(
     # permutation instead of a duplicate-index scatter-add.
     pair_feat10 = gather_pair_features(
         cfg.max_pairs, cfg.tile_rank_cap > 0, feat10, s_idx,
-        binning.perm, binning.gauss_offsets,
+        binning.gauss_offsets,
     )
     pair_feat = jnp.concatenate(
         [
@@ -425,7 +427,7 @@ def rasterize_binned_seg(
     P = T * T
     feat10 = _pair_features(proj, colors, jnp.float32)[binning.depth_order]
     pf10 = gather_pair_features(
-        cfg.max_pairs, False, feat10, binning.pair_slot, binning.perm,
+        cfg.max_pairs, False, feat10, binning.pair_slot,
         binning.gauss_offsets,
     )
     # Tile-local pixel coordinates + the per-pair tile-id row the kernel

@@ -205,8 +205,15 @@ def make_sharded_train_step(
         #   positive screen radius (pmax over 'tile' BEFORE thresholding);
         #   counts sum over the global batch (psum over 'data').
         tap_view = jax.lax.pmean(tap_grads, TILE_AXIS)  # [B, N, 2]
+        # Pixel -> NDC scaling of the statistic (see trainer.py): keeps
+        # the paper's 2e-4 threshold meaningful; same factor on every
+        # device, so sharded-vs-single equality is preserved.
+        ndc = jnp.asarray(
+            [render_cfg.width * 0.5, render_cfg.height * 0.5], jnp.float32
+        )
         uv_grad_sum = jax.lax.pmean(
-            jnp.sum(jnp.linalg.norm(tap_view, axis=-1), axis=0), DATA_AXIS
+            jnp.sum(jnp.linalg.norm(tap_view * ndc, axis=-1), axis=0),
+            DATA_AXIS,
         )  # [N]
         radii_view = jax.lax.pmax(radii, TILE_AXIS)  # [B, N]
         visible = jax.lax.psum(
@@ -587,8 +594,12 @@ def make_gauss_sharded_train_step(
         # transpose n_tile-scaled (same mechanism as the param grads above);
         # radius comes from the local full-frame projection. pmean over
         # 'data' restores the single-device global-batch 1/B loss scale.
+        ndc = jnp.asarray(
+            [render_cfg.width * 0.5, render_cfg.height * 0.5], jnp.float32
+        )  # pixel -> NDC statistic scale (see trainer.py)
         uv_grad_sum = jax.lax.pmean(
-            jnp.sum(jnp.linalg.norm(tap_grads / n_tile, axis=-1), axis=0),
+            jnp.sum(jnp.linalg.norm(tap_grads * ndc / n_tile, axis=-1),
+                    axis=0),
             DATA_AXIS,
         )
         visible = jax.lax.psum(

@@ -288,9 +288,18 @@ def make_train_step(render_cfg: RenderConfig, train_cfg: TrainConfig):
                 loss_fn, argnums=(0, 1), has_aux=True
             )(state.pool.params, taps)
             # Per-view view-space gradient norms, summed over the batch
-            # (the paper accumulates per-render norms, 3DGS §5.2).
+            # (the paper accumulates per-render norms, 3DGS §5.2). The
+            # original thresholds its statistic in NDC units (INRIA's
+            # ndc2Pix: d_pix/d_ndc = size/2), while our tap is in PIXELS
+            # — scale by (W/2, H/2) so densify_grad_threshold keeps the
+            # paper's 2e-4 meaning (round 4: the unscaled statistic was
+            # ~1/160 of the paper's, so paper-mode ADC never fired).
+            ndc = jnp.asarray(
+                [render_cfg.width * 0.5, render_cfg.height * 0.5],
+                jnp.float32,
+            )
             metrics["uv_grad_sum"] = jnp.sum(
-                jnp.linalg.norm(tap_grads, axis=-1), axis=0
+                jnp.linalg.norm(tap_grads * ndc, axis=-1), axis=0
             )  # [N]
         else:
             def loss_fn(params):

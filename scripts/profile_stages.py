@@ -114,8 +114,7 @@ def main():
         b = bin_gaussians(pr, cfg)
         f10 = _pair_features(pr, col, jnp.float32)[b.depth_order]
         return gather_pair_features(cfg.max_pairs, cfg.tile_rank_cap > 0,
-                                    f10, b.pair_slot, b.perm,
-                                    b.gauss_offsets)
+                                    f10, b.pair_slot, b.gauss_offsets)
 
     t_pf_fwd, _ = timeit(jax.jit(lambda p: to_pf(p).sum()), params)
     t_pf_bwd, _ = timeit(

@@ -47,9 +47,11 @@ def main():
     # ADC tuning (the round-3 full-scale run under-densified to 611
     # splats / 23.5 dB: the reference's world-space max_grad=0.01 never
     # fires on this scene — typical position gradients are 1e-5..1e-3).
-    p.add_argument("--max_grad", type=float, default=None,
-                   help="reference-mode world-space grad threshold "
-                        "(TrainConfig default 0.01)")
+    p.add_argument("--max_grad", type=float, default=2e-5,
+                   help="reference-mode world-space grad threshold. The "
+                        "round-4 sweep on this oracle: 2e-5 -> 28.1 dB "
+                        "(82k splats), 1e-4 -> 26.8, the reference's own "
+                        "0.01 never fires (23.5 dB, 611 splats)")
     p.add_argument("--densify_grad_threshold", type=float, default=None,
                    help="paper-mode view-space grad threshold in px "
                         "(TrainConfig default 2e-4)")
