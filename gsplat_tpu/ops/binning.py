@@ -25,8 +25,10 @@ So the pipeline is gather-free on the pair axis and sort-centric:
    from empty gaussians accumulate correctly because deltas ADD). The three
    footprint fields (tile x0, y0, width) are packed 10 bits each into one
    int32 so ONE cumsum carries all three (packing is linear, so packed
-   deltas telescope exactly like scalar ones). All three scatter->cumsum
-   passes share one [3, cap+1] array and one cumsum.
+   deltas telescope exactly like scalar ones). Each channel runs as an
+   INDEPENDENT rank-1 scatter + 1-D cumsum: a batched [3, cap+1]
+   shared-index scatter measured 2.4x SLOWER than three pipelined 1-D
+   scatters on v5e (12.9 vs 5.3 ms at bench shapes, round 4).
 4. Exact per-tile counts BEFORE the sort: signed footprint-rectangle
    corners scattered into a (tiles_y+1, tiles_x+1) grid + 2D prefix sum.
 5. Block alignment comes from the SORT itself: explicit padding pairs
@@ -149,8 +151,8 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     )  # [N+1] exclusive offsets (post-drop)
 
     # --- expansion, gather-free ---
-    # Three scatter->cumsum passes fused into ONE [3, cap+1] cumsum:
-    #   row 0: histogram of offsets  -> owning depth-slot per pair
+    # Three independent rank-1 scatter->cumsum channels:
+    #   ch 0: histogram of offsets  -> owning depth-slot per pair
     #   row 1: delta-encoded packed footprint (x0 | y0 | width)
     #   row 2: delta-encoded range starts -> local index within footprint
     p = jnp.arange(cap, dtype=jnp.int32)
@@ -160,25 +162,30 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
         | (jnp.maximum(n_u, 1) << (2 * _PACK_BITS))
     ).astype(jnp.int32)
     starts = offsets[:-1]
-    # ONE fused scatter for all three channels (shared index vector = one
-    # pass over the indices instead of three — scatters are index-rate
-    # bound). The delta channels originally scatter at starts = offsets[:-1];
-    # scattering at offsets with a trailing zero delta is identical (the
-    # extra add at offsets[-1] contributes 0). offsets <= cap by
-    # construction (overflow zeroes counts), so index cap stays in range.
+    # THREE INDEPENDENT 1-D scatters, one per channel. The former fused
+    # [3, cap+1] shared-index scatter measured 12.9 ms on v5e vs 5.3 ms
+    # for the 1-D trio at bench shapes (scatter_variants, round 4): XLA
+    # lowers a batched multi-row scatter through a far slower path than
+    # three pipelined rank-1 scatters, even though it touches the index
+    # vector once instead of three times. The delta channels originally
+    # scatter at starts = offsets[:-1]; scattering at offsets with a
+    # trailing zero delta is identical (the extra add at offsets[-1]
+    # contributes 0). offsets <= cap by construction (overflow zeroes
+    # counts), so index cap stays in range.
     zero1 = jnp.zeros((1,), jnp.int32)
-    acc = jnp.zeros((3, cap + 1), jnp.int32).at[:, offsets].add(
-        jnp.stack([
-            jnp.ones((n + 1,), jnp.int32),
-            jnp.concatenate([packed[:1], packed[1:] - packed[:-1], zero1]),
-            jnp.concatenate([starts[:1], starts[1:] - starts[:-1], zero1]),
-        ]),
+    zrow = jnp.zeros((cap + 1,), jnp.int32)
+    acc0 = zrow.at[offsets].add(jnp.ones((n + 1,), jnp.int32), mode="drop")
+    acc1 = zrow.at[offsets].add(
+        jnp.concatenate([packed[:1], packed[1:] - packed[:-1], zero1]),
         mode="drop",
     )
-    cums = jnp.cumsum(acc, axis=1)[:, :cap]
-    slot = cums[0] - 1  # searchsorted(offsets, p, 'right') - 1, in [0, n]
-    packed_p = cums[1]
-    start_p = cums[2]
+    acc2 = zrow.at[offsets].add(
+        jnp.concatenate([starts[:1], starts[1:] - starts[:-1], zero1]),
+        mode="drop",
+    )
+    slot = jnp.cumsum(acc0)[:cap] - 1  # searchsorted(offsets, p,'right')-1
+    packed_p = jnp.cumsum(acc1)[:cap]
+    start_p = jnp.cumsum(acc2)[:cap]
     pair_ok = slot < n
 
     local = p - start_p
@@ -319,24 +326,25 @@ def _expand_pairs_ellipse(proj: ProjectedGaussians, cfg: RenderConfig):
 
     r = jnp.arange(cap_r, dtype=jnp.int32)
     rstarts = row_off[:-1]
-    # ONE fused scatter for both channels (see the rect branch): the delta
-    # channel gains a harmless trailing zero so it shares row_off as index.
-    accR = jnp.zeros((2, cap_r + 1), jnp.int32).at[:, row_off].add(
-        jnp.stack([
-            jnp.ones((n + 1,), jnp.int32),
-            jnp.concatenate([
-                rstarts[:1], rstarts[1:] - rstarts[:-1],
-                jnp.zeros((1,), jnp.int32),
-            ]),
+    # TWO INDEPENDENT 1-D scatters (batched multi-row scatters lower
+    # pathologically — see the rect branch): the delta channel gains a
+    # harmless trailing zero so it shares row_off as index.
+    zrowR = jnp.zeros((cap_r + 1,), jnp.int32)
+    accR0 = zrowR.at[row_off].add(jnp.ones((n + 1,), jnp.int32), mode="drop")
+    accR1 = zrowR.at[row_off].add(
+        jnp.concatenate([
+            rstarts[:1], rstarts[1:] - rstarts[:-1],
+            jnp.zeros((1,), jnp.int32),
         ]),
         mode="drop",
     )
-    cumsR = jnp.cumsum(accR, axis=1)[:, :cap_r]
-    gslot = cumsR[0] - 1  # [cap_r] depth rank of the row's gaussian, or n
+    cumsR0 = jnp.cumsum(accR0)[:cap_r]
+    cumsR1 = jnp.cumsum(accR1)[:cap_r]
+    gslot = cumsR0 - 1  # [cap_r] depth rank of the row's gaussian, or n
     row_ok = gslot < n
     tv = table[jnp.clip(gslot, 0, n - 1)]  # [cap_r, 10] the ONE row gather
 
-    ly = r - cumsR[1]
+    ly = r - cumsR1
     ty = tv[:, 9].astype(jnp.int32) + ly  # global tile row (exact: <= 1023)
     tyl = ty % cfg.view_tile_rows if cfg.view_tile_rows else ty
     dyl = tyl.astype(jnp.float32) * T - tv[:, 1]  # band of pixel-center dys
@@ -401,25 +409,27 @@ def _expand_pairs_ellipse(proj: ProjectedGaussians, cfg: RenderConfig):
     # zero-length rows share a pstart with the owning row their deltas sum,
     # and the telescoped cumsum still lands on the owner's value — the last
     # row scattered at a given start is the one whose pairs begin there.)
-    accP = jnp.zeros((3, cap + 1), jnp.int32).at[:, pstarts].add(
-        jnp.stack([
-            jnp.concatenate([packed[:1], packed[1:] - packed[:-1]]),
-            jnp.concatenate([pstarts[:1], pstarts[1:] - pstarts[:-1]]),
-            jnp.concatenate([gslot[:1], gslot[1:] - gslot[:-1]]),
-        ]),
-        mode="drop",
-    )
-    cumsP = jnp.cumsum(accP, axis=1)[:, :cap]
+    zrowP = jnp.zeros((cap + 1,), jnp.int32)
+    accP0 = zrowP.at[pstarts].add(
+        jnp.concatenate([packed[:1], packed[1:] - packed[:-1]]), mode="drop")
+    accP1 = zrowP.at[pstarts].add(
+        jnp.concatenate([pstarts[:1], pstarts[1:] - pstarts[:-1]]),
+        mode="drop")
+    accP2 = zrowP.at[pstarts].add(
+        jnp.concatenate([gslot[:1], gslot[1:] - gslot[:-1]]), mode="drop")
+    cumsP0 = jnp.cumsum(accP0)[:cap]
+    cumsP1 = jnp.cumsum(accP1)[:cap]
+    cumsP2 = jnp.cumsum(accP2)[:cap]
     p = jnp.arange(cap, dtype=jnp.int32)
     pair_ok = p < S2[-1]
-    packed_p = cumsP[0]
-    local = p - cumsP[1]  # x offset within the row interval
+    packed_p = cumsP0
+    local = p - cumsP1  # x offset within the row interval
     tx = (packed_p & _PACK_MASK) + local
     ty_p = (packed_p >> _PACK_BITS) & _PACK_MASK
     tile_id = jnp.where(
         pair_ok, (ty_p * cfg.tiles_x + tx).astype(jnp.int32), num_tiles
     )
-    slot = jnp.where(pair_ok, cumsP[2], -1)
+    slot = jnp.where(pair_ok, cumsP2, -1)
 
     return {
         "n": n,

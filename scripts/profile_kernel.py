@@ -228,15 +228,120 @@ def _kernel_empty(block_meta_ref, feat_ref, out_ref, *, cfg):
     out_ref[0, 4:5, :] = T_in
 
 
+def _kernel_pg(block_meta_ref, feat_ref, out_ref, acc_ref, *, cfg, mode):
+    """[P, G] orientation candidate (NEXT §26's layout lever): pairs on
+    LANES, pixels on sublanes — every per-pair feature row of the native
+    [16, G] block broadcasts along sublanes for FREE, killing the
+    per-block [16, G] -> [G, 16] transpose (~930 ns measured, the top
+    remaining kernel cost in cumprod mode). Consequences handled here:
+
+    * the accumulator lives in a [P, 8] VMEM scratch (cols 0-3 rgbd,
+      col 4 transmittance) and is transposed into the [8, P] out block
+      only ONCE PER TILE (flush when the next block's tile differs),
+      amortizing the transpose across the tile's blocks;
+    * transmittance runs along lanes: ``mode="log"`` uses an MXU
+      right-matmul against an inclusive upper-triangular mask;
+      ``mode="roll"`` is an exact product doubling-scan (7 lane-rolls) —
+      the cumprod-family variant with zero transcendentals;
+    * the channel contribution is the canonical MN matmul
+      [P, G] @ [G, 4] (the [4, G] -> [G, 4] operand transpose is 1/8 the
+      old block transpose).
+    """
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    meta = block_meta_ref[b]
+    t_id = meta >> META_SHIFT
+    state = meta & 3
+    t = cfg.tile
+    P = t * t
+    G = cfg.pair_block
+
+    @pl.when(state == 1)
+    def _():
+        acc_ref[:, 0:4] = jnp.zeros((P, 4), jnp.float32)
+        acc_ref[:, 4:5] = jnp.ones((P, 1), jnp.float32)
+
+    T_head = acc_ref[:, 4:5]  # [P, 1]
+    active = (state == 1) | (
+        (state == 0) & (jnp.max(T_head) > cfg.transmittance_min)
+    )
+
+    @pl.when(active)
+    def _():
+        T_in = acc_ref[:, 4:5]  # [P, 1]
+        u = feat_ref[0:1, :]  # [1, G] rows: sublane broadcast is free
+        v = feat_ref[1:2, :]
+        ca = feat_ref[2:3, :]
+        cb = feat_ref[3:4, :]
+        cc = feat_ref[4:5, :]
+        op = feat_ref[5:6, :]
+        pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        ox = (t_id % cfg.tiles_x) * t
+        oy = (t_id // cfg.tiles_x) * t
+        px = (pix % t + ox).astype(jnp.float32)  # [P, 1]
+        py = (pix // t + oy).astype(jnp.float32)
+        du = px - u  # [P, G]
+        dv = py - v
+        q = ca * du * du + 2.0 * cb * du * dv + cc * dv * dv
+        g = jnp.where(q <= cfg.chi2_clip, jnp.exp(-0.5 * q), 0.0)
+        a_raw = op * g
+        a_cl = jnp.minimum(a_raw, cfg.alpha_max)
+        alpha = jnp.where(a_cl >= cfg.alpha_cutoff, a_cl, 0.0)
+        if mode == "log":
+            s = jnp.log1p(-alpha)
+            row = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+            upper_incl = (row <= col).astype(jnp.float32)
+            cum = jax.lax.dot_general(
+                s, upper_incl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [P, G] inclusive lane-cumsum
+            T_excl = jnp.exp(cum - s) * T_in
+            T_out = T_in * jnp.exp(cum[:, G - 1 : G])
+        else:
+            m = 1.0 - alpha
+            lane = jax.lax.broadcasted_iota(jnp.int32, (P, G), 1)
+            x = m
+            k = 1
+            while k < G:
+                x = x * jnp.where(lane >= k, pltpu.roll(x, k, 1), 1.0)
+                k *= 2
+            # x = inclusive lane cumprod; exclusive = shift right by one.
+            excl = jnp.where(lane >= 1, pltpu.roll(x, 1, 1), 1.0)
+            T_excl = excl * T_in
+            T_out = T_in * x[:, G - 1 : G]
+        alive = T_excl > cfg.transmittance_min
+        w = jnp.where(alive, alpha * T_excl, 0.0)  # [P, G]
+        chans = feat_ref[6:10, :].T  # [G, 4]
+        contrib = jax.lax.dot_general(
+            w, chans, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [P, 4]
+        acc_ref[:, 0:4] = acc_ref[:, 0:4] + contrib
+        acc_ref[:, 4:5] = T_out
+
+    nxt = block_meta_ref[jnp.minimum(b + 1, nb - 1)]
+    flush = (b == nb - 1) | ((nxt >> META_SHIFT) != t_id)
+
+    @pl.when(flush)
+    def _():
+        out_ref[0, 0:8, :] = acc_ref[...].T  # one [P,8]->[8,P] per TILE
+
+
 VARIANTS = {
     "full": _fwd_kernel,
     "cumprod": _kernel_cumprod,
+    "pg-roll": functools.partial(_kernel_pg, mode="roll"),
+    "pg-log": functools.partial(_kernel_pg, mode="log"),
     "no-transc": _kernel_no_transc,
     "no-mxu": _kernel_no_mxu,
     "no-compute": _kernel_no_compute,
     "no-input": _kernel_no_input,
     "empty": _kernel_empty,
 }
+PG_VARIANTS = {"pg-roll", "pg-log"}
 
 
 def run_variant(name, kernel, pair_feat, block_meta, cfg, iters):
@@ -253,6 +358,9 @@ def run_variant(name, kernel, pair_feat, block_meta, cfg, iters):
             (1, 8, P), lambda b, bm: (bm[b] >> META_SHIFT, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((P, 8), jnp.float32)] if name in PG_VARIANTS else []
+        ),
     )
     fn = jax.jit(lambda bm, f: pl.pallas_call(
         functools.partial(kernel, cfg=cfg),
@@ -262,6 +370,7 @@ def run_variant(name, kernel, pair_feat, block_meta, cfg, iters):
     )(bm, f))
     out = fn(block_meta, pair_feat)
     out.block_until_ready()
+    chk = float(jnp.sum(out[0, 0:5, :]))  # tile-0 digest: cross-variant sanity
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(block_meta, pair_feat)
@@ -270,7 +379,7 @@ def run_variant(name, kernel, pair_feat, block_meta, cfg, iters):
     dt = (time.perf_counter() - t0) / iters
     print(
         f"{name:11s} {dt * 1e3:8.2f} ms  "
-        f"{dt / num_blocks * 1e9:7.1f} ns/block",
+        f"{dt / num_blocks * 1e9:7.1f} ns/block  tile0-digest {chk:.4f}",
         flush=True,
     )
     return dt

@@ -495,6 +495,37 @@ def test_prefetched_batches_match_and_propagate_errors(tmp_path):
         next(it)
 
 
+def test_prefetch_worker_stops_when_consumer_abandons():
+    """Abandoning a prefetch generator must stop the worker thread
+    (round-3 'Fatal Python error: Aborted': daemon threads parked in
+    queue.put outliving their consumers piled up across tests and tripped
+    CPython's shutdown abort — NEXT.md §27)."""
+    import threading
+    import time
+
+    from gsplat_tpu.data.dataset import prefetch
+
+    done = threading.Event()
+
+    def endless():
+        try:
+            i = 0
+            while True:
+                yield i
+                i += 1
+        finally:
+            done.set()
+
+    it = prefetch(endless(), depth=1)
+    assert next(it) == 0
+    it.close()  # fit()-style abandonment (close/GC)
+    # The worker must give up its queue.put within the stop-poll interval.
+    deadline = time.monotonic() + 5.0
+    while not done.is_set() and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert done.is_set(), "prefetch worker still parked after consumer close"
+
+
 def test_splat_export_format(tmp_path):
     """.splat export (antimatter15 web-viewer format): 32 bytes/gaussian,
     f32 position + LINEAR scale, u8 RGBA (sigmoid transfer) and u8 quat
