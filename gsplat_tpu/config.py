@@ -131,6 +131,24 @@ class RenderConfig:
     # Overflow drops whole trailing-tile blocks and is REPORTED via
     # RenderAux (never silent).
     trunc_pairs: int = 0
+    # Pre-sort occlusion cull (active only with tile_rank_cap > 0 and
+    # cull_mode "rect"): drop a gaussian BEFORE pair expansion when its
+    # within-tile depth rank provably reaches >= the truncation cap at
+    # EVERY tile of its footprint — such a gaussian contributes nothing
+    # to the truncated composite, and removing it does not change any
+    # tile's kept-block content (the kept set per tile is its first
+    # cap_t pairs, which never include it), so the truncated output is
+    # BIT-IDENTICAL. The rank lower bound comes from depth-chunked
+    # cumulative footprint-count grids + a min pyramid (ops/binning.py::
+    # _occlusion_cull). This shrinks the pre-sort pair DEMAND itself —
+    # the lever for close-in serving poses whose raw demand is ~10x the
+    # truncated need (round-3 orbit: 38M pairs of which <9M survive
+    # truncation).
+    occlusion_cull: bool = True
+    # Depth chunks of the cull's cumulative count grids: more chunks =
+    # tighter rank bounds (only gaussians in strictly earlier chunks
+    # count toward the bound) at slightly more grid memory/compute.
+    cull_chunks: int = 64
     # Batched-view rendering (render.py::render_batch_from_params): B views
     # are stacked into one virtual image of B * padded_height rows. uv stays
     # VIEW-LOCAL; the rasterizer maps a tile row to its pixel row modulo

@@ -115,6 +115,115 @@ def depth_order_and_rank(depth: jnp.ndarray, valid: jnp.ndarray):
     return order.astype(jnp.int32), rank
 
 
+def _occlusion_cull(tile_min, n_u, n_v, counts, cfg: RenderConfig):
+    """Pre-sort occlusion cull for the rank-truncated pipeline.
+
+    Zeroes the footprint count of every gaussian whose within-tile depth
+    rank PROVABLY reaches >= cap_t = rank_cap_blocks * pair_block at EVERY
+    tile of its footprint. Such a gaussian's pairs are all dropped by the
+    per-tile block truncation in bin_gaussians, and removing them cannot
+    change any tile's kept-block content: the kept set of a tile is its
+    first cap_t pairs in depth order, the culled pairs all rank >= cap_t
+    at their own tile, and a tile whose count was >= cap_t stays >= cap_t
+    after the cull (its first cap_t pairs are untouched). The truncated
+    output is therefore BIT-IDENTICAL with the cull on or off — what
+    changes is the pre-sort pair DEMAND, i.e. the size every
+    expansion/sort/gather stage (and `pair_demand` auto-sizing) runs at.
+
+    Rank lower bound (conservative, gather-light):
+      * split the depth order into `cfg.cull_chunks` chunks;
+      * per chunk, scatter signed footprint-rectangle corners into a
+        flat [chunks, tiles_y+1, tiles_x+1] grid (ONE 4N-index scatter,
+        the same corner trick as the exact tile counts) and build
+        cumulative-through-chunk 2D-prefix count grids cnt[c];
+      * build corner-anchored min tables of cnt (sparse-table doubling:
+        level l = min over the 2^l-square anchored at each tile); for
+        gaussian g in chunk c the bound is ONE lookup of cnt[c-1] at g's
+        own rect corner, level ceil_log2(span) — a superset-region min
+        anchored exactly at the rect, hence a true lower bound of
+        min-over-rect of the number of strictly-earlier-chunk gaussians
+        covering each tile.
+
+    Gaussians of chunk 0 are never culled. Cost: one 4N scatter +
+    ~1M-element elementwise grid/table work + ONE N-sized gather from a
+    [chunks, levels, tiles] table. No reference counterpart (the
+    reference composites every pair, render.py:325-410).
+    """
+    n = counts.shape[0]
+    C = max(int(cfg.cull_chunks), 1)
+    chunk = cdiv_i(n, C)
+    TY, TX = cfg.tiles_y, cfg.tiles_x
+    Hh, W = TY + 1, TX + 1
+    cap_t = cfg.rank_cap_blocks * cfg.pair_block
+
+    kept = counts > 0
+    one = kept.astype(jnp.int32)
+    x0 = tile_min[:, 0]
+    y0 = tile_min[:, 1]
+    x1 = x0 + n_u  # exclusive
+    y1 = y0 + n_v
+    cidx = jnp.arange(n, dtype=jnp.int32) // chunk
+
+    base = cidx * (Hh * W)
+    idx = jnp.concatenate(
+        [base + y0 * W + x0, base + y0 * W + x1,
+         base + y1 * W + x0, base + y1 * W + x1]
+    )
+    upd = jnp.concatenate([one, -one, -one, one])
+    g = jnp.zeros((C * Hh * W,), jnp.int32).at[idx].add(
+        upd, mode="drop"
+    ).reshape(C, Hh, W)
+    # Per-chunk 2D prefix, then cumulative over chunks.
+    g2 = jnp.cumsum(jnp.cumsum(g, axis=1), axis=2)[:, :TY, :TX]
+    cnt = jnp.cumsum(g2, axis=0)  # [C, TY, TX] counts through chunk c
+
+    # Corner-anchored min tables (sparse-table doubling): tab[l][y][x] =
+    # min of cnt over the 2^l x 2^l square ANCHORED at (y, x). A rect of
+    # span s queried at level ceil_log2(s) is covered by the ONE square
+    # anchored at its own corner — a superset that starts exactly at the
+    # rect (dilation < s per axis), strictly tighter than an aligned
+    # 4-cell pyramid query (whose union can pre/post-extend by a full
+    # cell per side: on small grids that diluted the bound to the global
+    # min and culled nothing). Squares reaching past the grid edge are
+    # padded with a huge sentinel, which can only RAISE nothing (min with
+    # BIG is identity) — still a valid lower bound over the rect.
+    BIG = 2**30
+    L = 1
+    while (1 << (L - 1)) < max(TY, TX):
+        L += 1  # 2^(L-1) >= any possible span -> every query level exists
+    tabs = [cnt]
+    cur = cnt
+    for l in range(1, L):
+        sh = 1 << (l - 1)
+        cur = jnp.minimum(
+            cur,
+            jnp.pad(cur, ((0, 0), (0, sh), (0, 0)),
+                    constant_values=BIG)[:, sh:, :],
+        )
+        cur = jnp.minimum(
+            cur,
+            jnp.pad(cur, ((0, 0), (0, 0), (0, sh)),
+                    constant_values=BIG)[:, :, sh:],
+        )
+        tabs.append(cur)
+    flat1 = jnp.stack(tabs, axis=1).reshape(-1)  # [C * L * TY * TX]
+
+    # Level per gaussian: smallest l with 2^l >= max span.
+    span = jnp.maximum(jnp.maximum(n_u, n_v), 1)
+    lvl = jnp.zeros(n, jnp.int32)
+    for l in range(L - 1):
+        lvl = lvl + (span > (1 << l)).astype(jnp.int32)
+
+    i = ((cidx - 1) * L + lvl) * (TY * TX) + y0 * TX + x0
+    lb = flat1[jnp.clip(i, 0, C * L * TY * TX - 1)]
+    occluded = kept & (cidx > 0) & (lb >= cap_t)
+    return jnp.where(occluded, 0, counts)
+
+
+def cdiv_i(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     """Shared pair expansion: depth order, per-pair (tile, slot), tile counts.
 
@@ -138,6 +247,14 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     n_u = jnp.maximum(tile_max[:, 0] - tile_min[:, 0] + 1, 0)
     n_v = jnp.maximum(tile_max[:, 1] - tile_min[:, 1] + 1, 0)
     counts = (n_u * n_v).astype(jnp.int32)
+
+    if cfg.tile_rank_cap and cfg.occlusion_cull:
+        # Truncation-only: zero the counts of provably-truncated gaussians
+        # BEFORE expansion (bit-identical truncated output; the reported
+        # demand below becomes the post-cull demand — the size the
+        # truncated pipeline actually needs materialized, which is what
+        # pair_demand()-based auto-sizing should size for).
+        counts = _occlusion_cull(tile_min, n_u, n_v, counts, cfg)
 
     # Capacity overflow drops WHOLE gaussians from the back of the depth
     # order (the first non-fitting gaussian and everything behind it): the

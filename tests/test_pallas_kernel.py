@@ -297,6 +297,41 @@ def test_rank_truncation_off_is_exact():
     assert int(aux_t.num_pairs_kept) == int(aux_t.num_pairs)
     assert float(jnp.max(jnp.abs(img_t - img_0))) == 0.0
 
+def test_occlusion_cull_bit_identical_and_reduces_demand():
+    """The pre-sort occlusion cull (cfg.occlusion_cull, truncation-only)
+    must leave the truncated image BIT-IDENTICAL — every culled gaussian's
+    rank provably reaches >= cap_t at all of its tiles, so no tile's
+    kept-block content changes — while reducing the reported pair demand
+    (that demand is what pair_demand()-based auto-sizing consumes)."""
+    params = {k: jnp.asarray(v) for k, v in _dense_scene().items()}
+    c2w = jnp.eye(4)
+    base = CFG.with_(max_pairs=2**15, max_per_tile=4096, tile_rank_cap=32,
+                     cull_chunks=16)
+    img_off, aux_off = _render(params, c2w, "pallas",
+                               base.with_(occlusion_cull=False))
+    img_on, aux_on = _render(params, c2w, "pallas",
+                             base.with_(occlusion_cull=True))
+    assert int(aux_on.num_pairs) < int(aux_off.num_pairs), (
+        "cull removed nothing on the dense overlap scene"
+    )
+    assert int(aux_on.num_pairs_kept) == int(aux_off.num_pairs_kept)
+    assert float(jnp.max(jnp.abs(img_on - img_off))) == 0.0
+
+    def loss(p, cfg):
+        img, _ = render_from_params(
+            p, c2w, CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"], cfg
+        )
+        return jnp.mean(img) + jnp.mean(img * img)
+
+    g_off = jax.grad(lambda p: loss(
+        p, base.with_(backend="pallas", occlusion_cull=False)))(params)
+    g_on = jax.grad(lambda p: loss(
+        p, base.with_(backend="pallas", occlusion_cull=True)))(params)
+    for k in params:
+        err = float(jnp.max(jnp.abs(g_on[k] - g_off[k])))
+        assert err < 1e-7, f"cull changed grad[{k}] by {err}"
+
+
 def test_cumprod_transmittance_matches_log():
     """transmittance_math="cumprod" (exact two-level product, zero
     transcendentals; the default since the round-3 TPU A/B) must agree
