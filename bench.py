@@ -270,9 +270,15 @@ def bench_checkpoint(path, height, width, iters):
             )
         )
         tdemand = int(tprobe(pool.params, pool.alive)[2])
+        # Post-cull pair demand (the pre-sort occlusion cull is on by
+        # default with truncation; it shrinks the demand every pairs-sized
+        # pre-sort stage runs at — size max_pairs to it like --auto_pairs).
+        pdemand = int(tprobe(pool.params, pool.alive)[0])
         tcfg = tcfg0.with_(
-            trunc_pairs=max(4096, -(-int(tdemand * 1.2) // 4096) * 4096)
+            max_pairs=max(4096, -(-int(pdemand * 1.2) // 4096) * 4096),
+            trunc_pairs=max(4096, -(-int(tdemand * 1.2) // 4096) * 4096),
         )
+        out["trained_ckpt_demand_culled"] = pdemand
         tfwd = jax.jit(
             lambda p, a: render_from_params(
                 p, c2w, fx, fy, jnp.float32(width / 2),

@@ -123,6 +123,105 @@ def _traj_stats(times, n_frames, probes, pair_capacity, extra=None):
     return stats
 
 
+def make_bucketed_render_fn(params, cfg, fx, fy, cx, cy, alive=None,
+                            trajectory=None, num_buckets: int = 4,
+                            report_demand: bool = False, verbose=print):
+    """Per-frame capacity bucketing for a KNOWN trajectory.
+
+    Close-in orbit poses can demand ~10x the pairs of distant ones
+    (round-3 queue: 3M..38M across one orbit); a single graph sized to
+    the max demand makes EVERY frame pay max-demand binning cost (the
+    round-3 --auto_pairs orbit ran 300 ms/frame at a 46M capacity). This
+    probes the demand of every pose up front with the binning-only
+    pair_demand graph, builds a /2 geometric ladder of demand-sized
+    configs (at most `num_buckets` rungs, clamped at cfg.max_pairs), and
+    dispatches each pose to the smallest rung that fits — distant frames
+    render at distant-frame cost. Frames whose demand exceeds the top
+    rung are clamped there (overflow drops the farthest splats and is
+    REPORTED via the render_trajectory probe stats — never silent).
+
+    Rungs compile lazily-but-upfront (one warm render per rung at build
+    time) so the timed loop never hits a compile. Pose -> rung lookup is
+    by pose bytes; unknown poses use the top rung (safe). The returned
+    closure matches make_render_fn's contract (report_demand supported).
+    No reference counterpart: the reference rebuilds dynamic tensors per
+    frame (render_trained.py:319-358).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .render import pair_demand
+
+    if trajectory is None or len(trajectory) == 0:
+        raise ValueError("bucketed rendering needs the trajectory up front")
+
+    probe = jax.jit(
+        lambda c: pair_demand(params, c, fx, fy, cx, cy, cfg, alive=alive)
+    )
+    demands = [
+        tuple(int(x) for x in probe(jnp.asarray(c))) for c in trajectory
+    ]
+
+    def rup(x):
+        return max(4096, -(-int(x * 1.2) // 4096) * 4096)
+
+    top = min(rup(max(d[0] for d in demands)), cfg.max_pairs)
+    lo = rup(min(d[0] for d in demands))
+    rungs = [top]
+    while len(rungs) < num_buckets and rungs[-1] // 2 >= lo:
+        rungs.append(-(-(rungs[-1] // 2) // 4096) * 4096)
+    rungs = sorted(rungs)  # ascending capacities
+
+    def rung_of(d):
+        need = rup(d)
+        for k, r in enumerate(rungs):
+            if r >= need:
+                return k
+        return len(rungs) - 1  # over the top rung: clamped, reported
+
+    assign = [rung_of(d[0]) for d in demands]
+    # Per-rung truncated/row capacities from the demands it actually serves.
+    fns = []
+    for k, r in enumerate(rungs):
+        members = [demands[i] for i in range(len(demands)) if assign[i] == k]
+        if not members:
+            fns.append(None)
+            continue
+        kw = {"max_pairs": r}
+        if cfg.cull_mode == "ellipse":
+            kw["max_rows"] = rup(max(m[1] for m in members))
+        if cfg.tile_rank_cap:
+            kw["trunc_pairs"] = rup(max(m[2] for m in members))
+        fns.append(make_render_fn(
+            params, cfg.with_(**kw), fx, fy, cx, cy, alive=alive,
+            report_demand=report_demand,
+        ))
+    counts = [sum(1 for a in assign if a == k) for k in range(len(rungs))]
+    verbose("bucketed orbit: " + "  ".join(
+        f"rung {r} x{c}" for r, c in zip(rungs, counts) if c
+    ))
+
+    table = {}
+    for i, c2w in enumerate(trajectory):
+        table[np.asarray(c2w, np.float32).tobytes()] = assign[i]
+    top_k = max(k for k in range(len(rungs)) if fns[k] is not None)
+
+    # Pre-compile every used rung outside the timed loop.
+    for k in range(len(rungs)):
+        if fns[k] is None:
+            continue
+        i = assign.index(k)
+        out = fns[k](np.asarray(trajectory[i]))
+        jax.block_until_ready(_split_render_out(out)[0])
+
+    def fn(c2w):
+        k = table.get(np.asarray(c2w, np.float32).tobytes(), top_k)
+        f = fns[k] or fns[top_k]
+        return f(c2w)
+
+    return fn
+
+
 def render_trajectory(
     render_fn,
     trajectory: np.ndarray,

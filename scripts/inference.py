@@ -79,6 +79,10 @@ def main():
     p.add_argument("--render_batch", type=int, default=1,
                    help="poses rendered per launch via the shared-binning "
                         "batched path")
+    p.add_argument("--bucket_pairs", type=int, default=0,
+                   help="per-frame capacity bucketing over the known "
+                        "trajectory (see render_trained.py --bucket_pairs); "
+                        "0 = off")
     args = p.parse_args()
 
     from render_trained import load_params, resolve_checkpoint
@@ -154,7 +158,16 @@ def main():
                 os.path.join(args.output_dir, f"view_{i:05d}.png"), frame
             )
     else:
-        render_fn = make_render_fn(params, cfg, fx, fy, cx, cy, alive=alive)
+        if args.bucket_pairs:
+            from gsplat_tpu.viewer import make_bucketed_render_fn
+
+            render_fn = make_bucketed_render_fn(
+                params, cfg, fx, fy, cx, cy, alive=alive, trajectory=traj,
+                num_buckets=args.bucket_pairs,
+            )
+        else:
+            render_fn = make_render_fn(params, cfg, fx, fy, cx, cy,
+                                       alive=alive)
         for i, c2w in enumerate(traj):
             img = np.asarray(render_fn(c2w))
             save_image(os.path.join(args.output_dir, f"view_{i:05d}.png"), img)

@@ -124,6 +124,13 @@ def main():
                         "graph) and shrink max_pairs/max_rows to demand "
                         "+20%% before rendering — --max_pairs becomes the "
                         "probe upper bound")
+    p.add_argument("--bucket_pairs", type=int, default=0,
+                   help="per-frame capacity bucketing: probe every orbit "
+                        "pose's demand, build a /2 ladder of N demand-sized "
+                        "configs (clamped at --max_pairs), and render each "
+                        "frame at the smallest rung that fits — distant "
+                        "frames stop paying close-up binning cost. "
+                        "Subsumes --auto_pairs. 0 = off")
     p.add_argument("--cull_mode", default="rect",
                    choices=("rect", "ellipse"),
                    help="tile culling granularity (ellipse: exact per-row "
@@ -325,6 +332,17 @@ def main():
             batch_fn, traj, batch_size=args.render_batch,
             keep_frames=keep_frames,
             pair_capacity=args.render_batch * cfg.max_pairs,
+        )
+    elif args.bucket_pairs:
+        from gsplat_tpu.viewer import make_bucketed_render_fn
+
+        orbit_fn = make_bucketed_render_fn(
+            params, cfg, fx, fy, cx, cy, alive=alive, trajectory=traj,
+            num_buckets=args.bucket_pairs, report_demand=True,
+        )
+        frames, stats = render_trajectory(
+            orbit_fn, traj, keep_frames=keep_frames,
+            pair_capacity=cfg.max_pairs,
         )
     else:
         orbit_fn = make_render_fn(

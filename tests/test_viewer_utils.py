@@ -203,6 +203,71 @@ def test_batched_trajectory_matches_per_pose():
         np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
 
 
+def test_bucketed_trajectory_matches_single_capacity():
+    """make_bucketed_render_fn must produce the same frames as a single
+    fixed-capacity render fn — bucketing only right-sizes static
+    capacities per frame (orbit poses at different distances have very
+    different pair demand), it never changes the kept pair set. Uses the
+    pallas backend with rank truncation so the truncated/bucketed sizing
+    path is exercised too."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig
+    from gsplat_tpu.viewer import (
+        make_bucketed_render_fn,
+        make_render_fn,
+        render_trajectory,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 96
+    params = {
+        "pos": jnp.asarray(
+            np.stack(
+                [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                 rng.uniform(2, 5, n)], axis=-1,
+            ),
+            jnp.float32,
+        ),
+        "scale_raw": jnp.asarray(rng.normal(0, 0.3, (n, 3)) - 1.8,
+                                 jnp.float32),
+        "q_raw": jnp.asarray(
+            rng.normal(0, 1, (n, 4)) + np.array([0, 0, 0, 2.0]), jnp.float32
+        ),
+        "opacity_raw": jnp.asarray(rng.normal(0.5, 1, n), jnp.float32),
+        "f_dc": jnp.asarray(rng.normal(0, 0.8, (n, 3)), jnp.float32),
+        "f_rest": jnp.asarray(rng.normal(0, 0.05, (n, 45)), jnp.float32),
+    }
+    cfg = RenderConfig(
+        height=48, width=64, max_pairs=4096, max_per_tile=128,
+        backend="pallas", pair_block=32, tile_rank_cap=64,
+    )
+    fx = fy = 50.0
+    cx, cy = 32.0, 24.0
+    # Mixed-distance poses -> genuinely different demand per frame.
+    traj = np.concatenate([
+        create_orbit_trajectory(np.array([0.0, 0.0, 3.5]), radius=3.3,
+                                num_frames=3),
+        create_orbit_trajectory(np.array([0.0, 0.0, 3.5]), radius=1.2,
+                                num_frames=2),
+    ])
+    single = make_render_fn(params, cfg, fx, fy, cx, cy, report_demand=True)
+    msgs = []
+    bucketed = make_bucketed_render_fn(
+        params, cfg, fx, fy, cx, cy, trajectory=traj, num_buckets=3,
+        report_demand=True, verbose=msgs.append,
+    )
+    f1, s1 = render_trajectory(single, traj, benchmark=True,
+                               pair_capacity=cfg.max_pairs)
+    f2, s2 = render_trajectory(bucketed, traj, benchmark=True,
+                               pair_capacity=cfg.max_pairs)
+    assert len(f1) == len(f2) == len(traj)
+    assert msgs and "rung" in msgs[0]
+    assert s1["max_pairs_seen"] == s2["max_pairs_seen"]
+    for i, (a, b) in enumerate(zip(f1, f2)):
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+
+
 def test_enable_compilation_cache(tmp_path):
     import jax
     import jax.numpy as jnp
