@@ -91,6 +91,11 @@ def main():
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--scale_factor", type=float, default=1.0)
     p.add_argument("--elevation", type=float, default=15.0)
+    p.add_argument("--orbit_scale", type=float, default=1.0,
+                   help="orbit camera distance as a multiple of the "
+                        "estimated scene radius (1.0 = the reference's "
+                        "convention; larger values frame the whole scene "
+                        "and demand far fewer pairs)")
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--max_pairs", type=int, default=2**21)
     p.add_argument("--benchmark_only", action="store_true",
@@ -215,7 +220,7 @@ def main():
             c2w_matrices=c2ws,
             positions=np.asarray(params["pos"])[: n_alive],
         )
-        probe_traj = _orbit(_center, _radius,
+        probe_traj = _orbit(_center, _radius * args.orbit_scale,
                             num_frames=min(args.num_frames, 16),
                             elevation_deg=args.elevation)
         probe = jax.jit(lambda c: pair_demand(
@@ -292,7 +297,7 @@ def main():
     )
     print(f"orbit: center {np.round(center, 2)}, radius {radius:.2f}")
     traj = create_orbit_trajectory(
-        center, radius, num_frames=args.num_frames,
+        center, radius * args.orbit_scale, num_frames=args.num_frames,
         elevation_deg=args.elevation,
     )
 
@@ -357,6 +362,11 @@ def main():
         f"median {stats['median_ms']:.2f}, min {stats['min_ms']:.2f}, "
         f"max {stats['max_ms']:.2f}, std {stats['std_ms']:.2f})"
     )
+    if "fps_pipelined" in stats:
+        print(
+            f"pipelined FPS: {stats['fps_pipelined']:.2f} "
+            f"({stats['pipelined_ms']:.2f} ms/frame — no per-frame sync)"
+        )
     if "max_pairs_seen" in stats:
         print(
             f"pair demand: max {stats['max_pairs_seen']} of capacity "
