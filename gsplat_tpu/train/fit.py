@@ -296,6 +296,29 @@ def fit(
                             f"iter {it}: row overflow — demand {rdemand}, "
                             f"capacity {rcap}; raise RenderConfig.max_rows"
                         )
+            # Rank-truncated training: the compacted pair list has its own
+            # static capacity (trunc_pairs); same never-silent + auto-grow
+            # contract (overflow drops whole trailing-tile blocks).
+            if "trunc_demand" in metrics:
+                tdemand = int(metrics["trunc_demand"])
+                tcap = int(metrics["trunc_capacity"])
+                if tdemand > tcap:
+                    report.overflow_events += 1
+                    if auto_capacity:
+                        new_tp = -(-int(tdemand * 1.25) // 1024) * 1024
+                        log_fn(
+                            f"iter {it}: truncated-list overflow (demand "
+                            f"{tdemand}, capacity {tcap}) — growing "
+                            f"trunc_pairs -> {new_tp} (recompile)"
+                        )
+                        render_cfg = render_cfg.with_(trunc_pairs=new_tp)
+                        step_fn = build_step(render_cfg)
+                    else:
+                        log_fn(
+                            f"iter {it}: truncated-list overflow — demand "
+                            f"{tdemand}, capacity {tcap}; raise "
+                            f"RenderConfig.trunc_pairs"
+                        )
             ring_ovf = int(metrics.get("ring_overflow", 0))
             if ring_ovf > 0:
                 report.overflow_events += 1

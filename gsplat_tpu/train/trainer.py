@@ -194,6 +194,9 @@ def batch_loss_fn(
         if render_cfg.cull_mode == "ellipse":
             metrics["row_demand"] = aux.num_rows
             metrics["row_capacity"] = jnp.int32(aux.row_capacity)
+        if render_cfg.tile_rank_cap:
+            metrics["trunc_demand"] = aux.trunc_demand
+            metrics["trunc_capacity"] = jnp.int32(aux.trunc_capacity)
         if uv_taps is not None:
             radii = jax.lax.stop_gradient(aux.screen_radius)  # [B, N]
             metrics["visible"] = jnp.sum((radii > 0).astype(jnp.int32), axis=0)
@@ -216,7 +219,8 @@ def batch_loss_fn(
             radius = jax.lax.stop_gradient(aux.screen_radius)
             extra = (radius,)
         return carry, (total, comps["l1"], comps["ssim"],
-                       aux.num_pairs, aux.num_rows) + extra
+                       aux.num_pairs, aux.num_rows,
+                       aux.trunc_demand) + extra
 
     # NOTE: no jax.checkpoint here — the Pallas rasterizer's custom VJP
     # keeps only O(pixels) residuals and the XLA fallback checkpoints per
@@ -233,10 +237,18 @@ def batch_loss_fn(
             "row_capacity": jnp.int32(render_cfg.row_capacity),
         }
 
+    def trunc_metrics(tds):
+        if not render_cfg.tile_rank_cap:
+            return {}
+        return {
+            "trunc_demand": jnp.max(tds),
+            "trunc_capacity": jnp.int32(render_cfg.trunc_padded_pairs),
+        }
+
     if uv_taps is None:
         b = batch["c2w"].shape[0]
         xs = (batch, jnp.zeros((b,), jnp.float32))  # dummy scan operand
-        _, (totals, l1s, ssims, pairs, rows) = jax.lax.scan(
+        _, (totals, l1s, ssims, pairs, rows, tds) = jax.lax.scan(
             view_loss, 0.0, xs
         )
         return jnp.mean(totals), {
@@ -245,8 +257,9 @@ def batch_loss_fn(
             "pair_demand": jnp.max(pairs),
             "pair_capacity": cap,
             **row_metrics(rows),
+            **trunc_metrics(tds),
         }
-    _, (totals, l1s, ssims, pairs, rows, radii) = jax.lax.scan(
+    _, (totals, l1s, ssims, pairs, rows, tds, radii) = jax.lax.scan(
         view_loss, 0.0, xs
     )
     return jnp.mean(totals), {
@@ -257,6 +270,7 @@ def batch_loss_fn(
         "visible": jnp.sum((radii > 0).astype(jnp.int32), axis=0),  # [N]
         "max_radius": jnp.max(radii, axis=0),  # [N]
         **row_metrics(rows),
+        **trunc_metrics(tds),
     }
 
 

@@ -63,6 +63,16 @@ def main():
     p.add_argument("--iterations", type=int, default=400)
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--max_pairs", type=int, default=2**18)
+    p.add_argument("--trunc_pairs", type=int, default=0,
+                   help="static capacity of the truncated pair list "
+                        "(0 = worst case; fit() auto-grows on overflow)")
+    p.add_argument("--tile_rank_cap", type=int, default=0,
+                   help="train THROUGH the rank-truncated renderer. "
+                        "MEASURED REGRESSION for from-scratch training "
+                        "(TPU A/B: 17.7 vs 35.8 dB at 540p/600it for only "
+                        "+13%% steps/s — semi-transparent training-time "
+                        "gaussians make rank sets unstable, NEXT.md §31); "
+                        "truncation is a SERVING/EVAL lever. 0 = exact")
     p.add_argument("--output_dir", default=None)
     p.add_argument("--init_fraction", type=float, default=1.0,
                    help="start from this fraction of the GT cloud (<1 "
@@ -87,7 +97,8 @@ def main():
     from gsplat_tpu.viewer import look_at
 
     cfg = RenderConfig(
-        height=args.height, width=args.width, max_pairs=args.max_pairs
+        height=args.height, width=args.width, max_pairs=args.max_pairs,
+        tile_rank_cap=args.tile_rank_cap, trunc_pairs=args.trunc_pairs,
     )
     fx = fy = 0.9 * args.width
     cx, cy = args.width / 2.0, args.height / 2.0

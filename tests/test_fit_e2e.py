@@ -350,6 +350,34 @@ def test_fit_auto_grows_pool_capacity(tmp_path):
     assert int(state.pool.num_alive()) > cap0
 
 
+def test_fit_auto_grows_trunc_capacity(tmp_path):
+    """Rank-truncated training: a deliberately tiny trunc_pairs must be
+    grown automatically from the observed truncated-list demand (overflow
+    reported, recompile, run completes) — same never-silent contract as
+    max_pairs/max_rows."""
+    d = _synthesize_scene_dir(tmp_path)
+    ds = GaussianDataset(d, scale_factor=1.0)
+    render_cfg = RenderConfig(height=H, width=W, max_pairs=4096,
+                              pair_block=32, backend="pallas",
+                              tile_rank_cap=32, trunc_pairs=64)
+    train_cfg = TrainConfig(
+        iterations=6,
+        batch_size=2,
+        capacity=128,
+        densification_interval=10_000,
+        opacity_reset_interval=10_000,
+        checkpoint_interval=10_000,
+    )
+    logs = []
+    state, report = fit(
+        ds, render_cfg, train_cfg, log_every=2, log_fn=logs.append,
+    )
+    assert report.overflow_events >= 1
+    grow_msgs = [m for m in logs if "growing trunc_pairs" in m]
+    assert grow_msgs, f"no trunc auto-growth in logs: {logs}"
+    assert np.isfinite(report.final_loss)
+
+
 def test_fit_auto_grows_row_capacity(tmp_path):
     """Ellipse cull: a deliberately tiny max_rows must be grown
     automatically from the observed row-stage demand (overflow reported,
