@@ -224,6 +224,32 @@ def bench_checkpoint(path, height, width, iters):
         "trained_ckpt_pairs": int(aux.num_pairs),
         "trained_ckpt_pair_capacity": cfg.max_pairs,
     }
+
+    def _fwd_bwd_fps(c):
+        def loss(p, a):
+            im, _ = render_from_params(
+                p, c2w, fx, fy, jnp.float32(width / 2),
+                jnp.float32(height / 2), c, alive=a,
+            )
+            return jnp.mean(im) + jnp.mean(im * im)
+
+        vg = jax.jit(jax.grad(loss))
+        g = vg(pool.params, pool.alive)
+        jax.block_until_ready(g)
+        t0 = time.perf_counter()
+        for _ in range(max(iters // 2, 3)):
+            g = vg(pool.params, pool.alive)
+        float(g["pos"][0, 0])  # host fetch = reliable sync on axon
+        return round(
+            max(iters // 2, 3) / (time.perf_counter() - t0), 3
+        )
+
+    # Full-capacity fwd+bwd, measured EARLY: in rounds 3-4 this exact
+    # graph read 0.9 FPS when measured late in the bench (after ~15 live
+    # compiled graphs + their buffers) but 6.9-7 FPS in isolation or in a
+    # fresh process — an allocator/pressure artifact of the loaded bench
+    # process, not a property of the graph (NEXT.md (section)28/(section)32).
+    out["fwd_bwd_fps_trained_ckpt"] = _fwd_bwd_fps(cfg)
     # A/B: exact ellipse-tile culling (cull_mode="ellipse") — same images,
     # fewer pairs; reported so the round log captures whether the row-stage
     # overhead pays for itself at this scale.
@@ -301,28 +327,8 @@ def bench_checkpoint(path, height, width, iters):
             ),
         })
 
-        # fwd+bwd on the trained distribution, full vs truncated (the
-        # backward kernel + its VJP sort shrink with the kept set too).
-        def _fwd_bwd_fps(c):
-            def loss(p, a):
-                im, _ = render_from_params(
-                    p, c2w, fx, fy, jnp.float32(width / 2),
-                    jnp.float32(height / 2), c, alive=a,
-                )
-                return jnp.mean(im) + jnp.mean(im * im)
-
-            vg = jax.jit(jax.grad(loss))
-            g = vg(pool.params, pool.alive)
-            jax.block_until_ready(g)
-            t0 = time.perf_counter()
-            for _ in range(max(iters // 2, 3)):
-                g = vg(pool.params, pool.alive)
-            float(g["pos"][0, 0])  # host fetch = reliable sync on axon
-            return round(
-                max(iters // 2, 3) / (time.perf_counter() - t0), 3
-            )
-
-        out["fwd_bwd_fps_trained_ckpt"] = _fwd_bwd_fps(cfg)
+        # fwd+bwd on the truncated config (the backward kernel + its VJP
+        # sort shrink with the kept set too).
         out["fwd_bwd_fps_trained_ckpt_trunc"] = _fwd_bwd_fps(tcfg)
     except Exception as e:
         out["fps_trained_ckpt_trunc_error"] = f"{type(e).__name__}: {e}"[:200]
