@@ -176,7 +176,67 @@ def roofline_forward(cfg, n_gaussians, measured_s):
     }
 
 
-def bench_checkpoint(path, height, width, iters):
+def _trained_scene_setup(path, height, width):
+    """Shared checkpoint + bench-pose camera setup (deterministic from the
+    checkpoint, so a subprocess reproduces the exact same workload)."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig
+    from gsplat_tpu.train.trainer import restore_pool
+    from gsplat_tpu.viewer import estimate_scene_center_radius, look_at
+
+    pool = restore_pool(path)
+    pos = np.asarray(pool.params["pos"])[np.asarray(pool.alive)]
+    center, radius = estimate_scene_center_radius(positions=pos)
+    # Frame the whole scene (the radius estimate is the CLOUD's spread, so
+    # a close camera sits inside the scene and splat footprints explode
+    # with 1/z — measured 33M pairs at 1.1R vs ~3M at 4.4R).
+    cam = center + np.array([0.0, -0.6 * radius, -4.4 * radius])
+    c2w = jnp.asarray(look_at(cam, center))
+    cfg = RenderConfig(height=height, width=width, max_pairs=2**22,
+                       max_per_tile=4096)
+    fx = fy = jnp.float32(0.85 * width)
+    return pool, c2w, fx, fy, cfg
+
+
+def _trained_fwd_bwd_fps(pool, c2w, fx, fy, cfg, height, width, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu import render_from_params
+
+    def loss(p, a):
+        im, _ = render_from_params(
+            p, c2w, fx, fy, jnp.float32(width / 2),
+            jnp.float32(height / 2), cfg, alive=a,
+        )
+        return jnp.mean(im) + jnp.mean(im * im)
+
+    vg = jax.jit(jax.grad(loss))
+    g = vg(pool.params, pool.alive)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(max(iters // 2, 3)):
+        g = vg(pool.params, pool.alive)
+    float(g["pos"][0, 0])  # host fetch = reliable sync on axon
+    return round(max(iters // 2, 3) / (time.perf_counter() - t0), 3)
+
+
+def bench_fwd_bwd_isolated(path, height, width, iters):
+    """Entry for `--only fwd_bwd_trained`: the full-capacity trained-ckpt
+    fwd+bwd measured in a FRESH process. Rounds 3-4 showed this exact graph
+    reading ~0.9 FPS inside a loaded bench process but ~7 FPS in isolation
+    (axon allocator/device-state pressure, NEXT.md §28/§32) — the committed
+    metric must be the isolated number (round-4 VERDICT Weak #1)."""
+    from gsplat_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    pool, c2w, fx, fy, cfg = _trained_scene_setup(path, height, width)
+    fps = _trained_fwd_bwd_fps(pool, c2w, fx, fy, cfg, height, width, iters)
+    print(json.dumps({"fwd_bwd_fps_trained_ckpt": fps}))
+
+
+def bench_checkpoint(path, height, width, iters, ellipse_ab=False):
     """FPS on a TRAINED checkpoint's gaussian distribution — the north-star
     workload (BASELINE.json: 'garden-scale trained scene'); trained scenes
     are many dim/small splats where the opacity-aware radius bound bites,
@@ -186,25 +246,13 @@ def bench_checkpoint(path, height, width, iters):
     import jax
     import jax.numpy as jnp
 
-    from gsplat_tpu import RenderConfig, pair_demand, render_from_params
-    from gsplat_tpu.train.trainer import restore_pool
-    from gsplat_tpu.viewer import estimate_scene_center_radius, look_at
+    from gsplat_tpu import pair_demand, render_from_params
 
-    pool = restore_pool(path)
+    # Trained scenes carry more pairs than the synthetic cloud; the shared
+    # setup gives the static capacity headroom (2^22) and true demand is
+    # reported so overflow is visible in the bench line.
+    pool, c2w, fx, fy, cfg = _trained_scene_setup(path, height, width)
     n_alive = int(np.asarray(pool.alive).sum())
-    pos = np.asarray(pool.params["pos"])[np.asarray(pool.alive)]
-    center, radius = estimate_scene_center_radius(positions=pos)
-    # Frame the whole scene (the radius estimate is the CLOUD's spread, so
-    # a close camera sits inside the scene and splat footprints explode
-    # with 1/z — measured 33M pairs at 1.1R vs ~3M at 4.4R).
-    cam = center + np.array([0.0, -0.6 * radius, -4.4 * radius])
-    c2w = jnp.asarray(look_at(cam, center))
-    # Trained scenes carry more pairs than the synthetic cloud; give the
-    # static capacity headroom and report true demand so overflow is
-    # visible in the bench line.
-    cfg = RenderConfig(height=height, width=width, max_pairs=2**22,
-                       max_per_tile=4096)
-    fx = fy = jnp.float32(0.85 * width)
     fwd = jax.jit(
         lambda p, a: render_from_params(
             p, c2w, fx, fy, jnp.float32(width / 2), jnp.float32(height / 2),
@@ -226,62 +274,90 @@ def bench_checkpoint(path, height, width, iters):
     }
 
     def _fwd_bwd_fps(c):
-        def loss(p, a):
-            im, _ = render_from_params(
-                p, c2w, fx, fy, jnp.float32(width / 2),
-                jnp.float32(height / 2), c, alive=a,
-            )
-            return jnp.mean(im) + jnp.mean(im * im)
+        return _trained_fwd_bwd_fps(pool, c2w, fx, fy, c, height, width,
+                                    iters)
 
-        vg = jax.jit(jax.grad(loss))
-        g = vg(pool.params, pool.alive)
-        jax.block_until_ready(g)
-        t0 = time.perf_counter()
-        for _ in range(max(iters // 2, 3)):
-            g = vg(pool.params, pool.alive)
-        float(g["pos"][0, 0])  # host fetch = reliable sync on axon
-        return round(
-            max(iters // 2, 3) / (time.perf_counter() - t0), 3
-        )
-
-    # Full-capacity fwd+bwd, measured EARLY: in rounds 3-4 this exact
-    # graph read 0.9 FPS when measured late in the bench (after ~15 live
-    # compiled graphs + their buffers) but 6.9-7 FPS in isolation or in a
-    # fresh process — an allocator/pressure artifact of the loaded bench
-    # process, not a property of the graph (NEXT.md (section)28/(section)32).
-    out["fwd_bwd_fps_trained_ckpt"] = _fwd_bwd_fps(cfg)
-    # A/B: exact ellipse-tile culling (cull_mode="ellipse") — same images,
-    # fewer pairs; reported so the round log captures whether the row-stage
-    # overhead pays for itself at this scale.
+    # Full-capacity fwd+bwd: measured in a FRESH SUBPROCESS. In rounds 3-4
+    # this graph read ~0.9 FPS inside the loaded bench process (even when
+    # measured early) but ~7 FPS in isolation — an axon allocator/device-
+    # state artifact, not graph structure (NEXT.md §28/§32; round-4 VERDICT
+    # Weak #1). The committed number is the isolated one; the in-process
+    # number is also recorded and the disagreement reported so allocator
+    # pressure stays visible instead of silently poisoning the metric.
+    inbench = _fwd_bwd_fps(cfg)
+    out["fwd_bwd_fps_trained_ckpt_inbench"] = inbench
     try:
-        # max_rows: the row-stage scatters cost O(static capacity), and the
-        # bench scene needs ~625k rows — 2^20 is 1.7x headroom at half the
-        # default cap/2 static cost (demand is reported if it overflows).
-        ecfg = cfg.with_(
-            cull_mode="ellipse", max_pairs=3 * 2**20, max_rows=2**20
+        import os
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--only", "fwd_bwd_trained", "--checkpoint", path,
+             "--height", str(height), "--width", str(width),
+             "--iters", str(iters)],
+            env=dict(os.environ, BENCH_WATCHDOG="0"),
+            capture_output=True, text=True, timeout=900,
         )
-        efwd = jax.jit(
-            lambda p, a: render_from_params(
-                p, c2w, fx, fy, jnp.float32(width / 2),
-                jnp.float32(height / 2), ecfg, alive=a,
+        iso = json.loads(r.stdout.strip().splitlines()[-1])
+        fps_iso = float(iso["fwd_bwd_fps_trained_ckpt"])
+        out["fwd_bwd_fps_trained_ckpt"] = fps_iso
+        agree = min(inbench, fps_iso) / max(inbench, fps_iso, 1e-9)
+        out["fwd_bwd_inbench_vs_isolated_agreement"] = round(agree, 3)
+    except Exception as e:  # fall back to the in-process number, flagged
+        out["fwd_bwd_fps_trained_ckpt"] = inbench
+        out["fwd_bwd_isolated_error"] = f"{type(e).__name__}: {e}"[:200]
+    # Saturation-compacted backward (cfg.bwd_pairs, round 5): the VJP
+    # reduction sort runs at the ACTIVE-pair size (skipped blocks carry
+    # exact-zero cotangents). Demand from the forward kernel's per-tile
+    # active-block counts (aux.bwd_demand); gradients exact while sized.
+    try:
+        bdemand = int(aux.bwd_demand)
+        out["trained_ckpt_bwd_demand"] = bdemand
+        bcfg = cfg.with_(
+            bwd_pairs=max(4096, -(-int(bdemand * 1.2) // 4096) * 4096)
+        )
+        out["fwd_bwd_fps_trained_ckpt_satbwd"] = _fwd_bwd_fps(bcfg)
+    except Exception as e:
+        out["fwd_bwd_satbwd_error"] = f"{type(e).__name__}: {e}"[:200]
+    # A/B: exact ellipse-tile culling (cull_mode="ellipse") — FROZEN as an
+    # opt-in pair-capacity saver (round-3/4 measurement: −17% pairs but 2×
+    # end-to-end regression from the rows-stage scatter/gather; round-4
+    # VERDICT Weak #5). Equality vs rect is covered by the CPU test suite
+    # (test_binning_ellipse.py); the TPU A/B only runs with --ellipse-ab.
+    if ellipse_ab:
+        try:
+            # max_rows: the row-stage scatters cost O(static capacity), and
+            # the bench scene needs ~625k rows — 2^20 is 1.7x headroom at
+            # half the default cap/2 static cost (demand reported on
+            # overflow).
+            ecfg = cfg.with_(
+                cull_mode="ellipse", max_pairs=3 * 2**20, max_rows=2**20
             )
-        )
-        eimg, eaux = efwd(pool.params, pool.alive)
-        eimg.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(iters):
+            efwd = jax.jit(
+                lambda p, a: render_from_params(
+                    p, c2w, fx, fy, jnp.float32(width / 2),
+                    jnp.float32(height / 2), ecfg, alive=a,
+                )
+            )
             eimg, eaux = efwd(pool.params, pool.alive)
-        eimg.block_until_ready()
-        edt = (time.perf_counter() - t0) / iters
-        out.update({
-            "fps_trained_ckpt_ellipse": round(1.0 / edt, 3),
-            "trained_ckpt_pairs_ellipse": int(eaux.num_pairs),
-            "trained_ckpt_ellipse_img_err": round(
-                float(jnp.abs(eimg - img).max()), 8
-            ),
-        })
-    except Exception as e:  # never break the bench line
-        out["fps_trained_ckpt_ellipse_error"] = f"{type(e).__name__}: {e}"[:200]
+            eimg.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                eimg, eaux = efwd(pool.params, pool.alive)
+            eimg.block_until_ready()
+            edt = (time.perf_counter() - t0) / iters
+            out.update({
+                "fps_trained_ckpt_ellipse": round(1.0 / edt, 3),
+                "trained_ckpt_pairs_ellipse": int(eaux.num_pairs),
+                "trained_ckpt_ellipse_img_err": round(
+                    float(jnp.abs(eimg - img).max()), 8
+                ),
+            })
+        except Exception as e:  # never break the bench line
+            out["fps_trained_ckpt_ellipse_error"] = (
+                f"{type(e).__name__}: {e}"[:200]
+            )
     # Per-tile rank truncation A/B (cfg.tile_rank_cap, round 4): trained
     # scenes are extremely tail-heavy (p99 tiles hold ~8700 pairs, median
     # 0) and deep-ranked pairs are occluded — K=1024 keeps 22.5% of pairs
@@ -451,7 +527,25 @@ def main():
     p.add_argument("--checkpoint", default=None,
                    help="trained .npz checkpoint to benchmark "
                         f"(default: {DEFAULT_CKPT} when present)")
+    p.add_argument("--only", default=None, choices=("fwd_bwd_trained",),
+                   help="measure one metric in this (fresh) process and "
+                        "print a one-key JSON line — used by the parent "
+                        "bench to isolate allocator-pressure-prone metrics")
+    p.add_argument("--ellipse-ab", dest="ellipse_ab", action="store_true",
+                   help="run the frozen ellipse-culling TPU A/B (opt-in; "
+                        "it is a measured 2x regression kept only as a "
+                        "pair-capacity saver)")
     args = p.parse_args()
+
+    if args.only == "fwd_bwd_trained":
+        import os
+
+        ckpt = args.checkpoint or DEFAULT_CKPT
+        if not os.path.exists(ckpt):
+            print(json.dumps({"error": f"no checkpoint at {ckpt}"}))
+            return
+        bench_fwd_bwd_isolated(ckpt, args.height, args.width, args.iters)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -536,7 +630,8 @@ def main():
     if ckpt:
         try:
             extras.update(
-                bench_checkpoint(ckpt, args.height, args.width, args.iters)
+                bench_checkpoint(ckpt, args.height, args.width, args.iters,
+                                 ellipse_ab=args.ellipse_ab)
             )
         except Exception as e:  # never break the bench line
             extras["fps_trained_ckpt_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -66,13 +66,6 @@ class RenderConfig:
     # 'pallas' (TPU kernel), 'xla' (lax.map fallback), 'auto' (pallas on TPU).
     pair_block: int = 128
     backend: str = "auto"
-    # Segmented compact-layout rasterizer ('pallas_seg'): pairs are processed
-    # in mega blocks of `mega_block` pairs with NO per-tile alignment
-    # padding (blocks may span tiles; the kernel segments in-register).
-    # `tile_list_cap` bounds the per-mega-block distinct-tile prefetch list
-    # used by the backward kernel (overflow reported, never silent).
-    mega_block: int = 1024
-    tile_list_cap: int = 16
     # Antialiasing (beyond reference parity; default off):
     #   "none"   — exact reference behavior (it omits the low-pass filter).
     #   "dilate" — classic 3DGS +0.3 px^2 screen-space low-pass on Sigma2D.
@@ -131,6 +124,18 @@ class RenderConfig:
     # Overflow drops whole trailing-tile blocks and is REPORTED via
     # RenderAux (never silent).
     trunc_pairs: int = 0
+    # Saturation-compacted BACKWARD reduction (round-5 training lever;
+    # Pallas backend only). The backward kernel emits exact zeros for
+    # every block the forward's saturation early-exit skipped (60-70% of
+    # blocks on dense trained scenes); with bwd_pairs > 0 those all-zero
+    # 128-pair blocks are dropped from the VJP's 10-payload reduction
+    # sort by one block-granular compaction gather, so the sort runs at
+    # the ACTIVE-pair size. Gradients are EXACT while the active demand
+    # (RenderAux.bwd_demand, emitted by the forward kernel) fits; on
+    # overflow the excess blocks' grads are dropped and the demand is
+    # reported — never silent; fit() auto-grows. 0 = off (full-length
+    # sort, the round-2..4 behavior).
+    bwd_pairs: int = 0
     # Pre-sort occlusion cull (active only with tile_rank_cap > 0 and
     # cull_mode "rect"): drop a gaussian BEFORE pair expansion when its
     # within-tile depth rank provably reaches >= the truncation cap at
@@ -204,15 +209,6 @@ class RenderConfig:
     @property
     def num_trunc_blocks(self) -> int:
         return self.trunc_padded_pairs // self.pair_block
-
-    @property
-    def compact_pairs(self) -> int:
-        """Pair-list capacity of the compact (unaligned) layout."""
-        return cdiv(self.max_pairs, self.mega_block) * self.mega_block
-
-    @property
-    def num_mega_blocks(self) -> int:
-        return self.compact_pairs // self.mega_block
 
     @property
     def tiles_x(self) -> int:

@@ -247,7 +247,7 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     """Shared pair expansion: depth order, per-pair (tile, slot), tile counts.
 
     Returns a dict with the presort (gaussian-major) pair fields used by both
-    the block-aligned and the compact binning layouts.
+    the rect and ellipse cull modes.
     """
     if cfg.cull_mode == "ellipse":
         return _expand_pairs_ellipse(proj, cfg)
@@ -749,133 +749,4 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
         num_rows=ex["rows_total"],
         num_pairs_kept=kept_pairs,
         trunc_demand=trunc_demand,
-    )
-
-
-class CompactBinning(NamedTuple):
-    """Compact (no alignment padding) sorted pair list for the segmented
-    rasterizer (ops/raster_seg.py).
-
-    The pair list has static length ``cfg.compact_pairs`` (max_pairs rounded
-    up to the mega-block size) in tile-major depth order with NO per-tile
-    block alignment — tile runs abut, so kernel blocks may span several
-    tiles. Per-pair tile ids are therefore part of the pair data; the
-    kernel segments each block by tile in-register (tiles are
-    NON-DECREASING along the sorted order, so segments are grouped).
-    """
-
-    pair_slot: jnp.ndarray  # [compact_pairs] int32 depth-rank; -1 = empty
-    pair_tile: jnp.ndarray  # [compact_pairs] int32 tile id; num_tiles = empty
-    tile_start: jnp.ndarray  # [num_tiles] int32 first pair of each tile
-    tile_count: jnp.ndarray  # [num_tiles] int32 pairs in tile
-    # Distinct nonempty tiles intersecting each mega block, ascending,
-    # padded with num_tiles; used by the backward kernel to prefetch the
-    # per-tile pixel cotangent planes. block_ntiles may exceed
-    # cfg.tile_list_cap (reported via max_block_tiles; the kernel falls back
-    # to a blocking fetch for ranks past the cap — never silent corruption).
-    block_tiles: jnp.ndarray  # [num_mega, tile_list_cap] int32
-    block_ntiles: jnp.ndarray  # [num_mega] int32 true distinct-tile count
-    num_pairs: jnp.ndarray  # [] int32 true pair demand (may exceed capacity)
-    max_block_tiles: jnp.ndarray  # [] int32 max distinct tiles per block
-    depth_order: jnp.ndarray  # [N] int32 gaussian indices sorted by depth
-    gauss_offsets: jnp.ndarray  # [N+1] int32 presort segment boundaries
-    num_rows: jnp.ndarray | None = None  # row-stage demand (see TileBinning)
-
-
-def bin_gaussians_compact(
-    proj: ProjectedGaussians, cfg: RenderConfig
-) -> CompactBinning:
-    """Compact-layout binning: one short sort, no alignment padding.
-
-    vs `bin_gaussians`: the sorted array is `compact_pairs` long instead of
-    `padded_pairs` (= max_pairs + num_tiles*(pair_block-1)) — at 1080p that
-    removes ~1M dead slots from every pairs-sized sort/gather downstream.
-    """
-    if cfg.tile_rank_cap:
-        raise ValueError(
-            "tile_rank_cap is not supported by the compact (pallas_seg) "
-            "layout; use backend='pallas' or 'xla'"
-        )
-    num_tiles = cfg.num_tiles
-    cap = cfg.max_pairs
-    cap_m = cfg.compact_pairs
-    M = cfg.mega_block
-    num_mega = cap_m // M
-    K = cfg.tile_list_cap
-
-    ex = _expand_pairs(proj, cfg)
-    n = ex["n"]
-
-    sentinel = num_tiles * (n + 1) + n
-    key = jnp.where(
-        ex["pair_ok"], ex["tile_id"] * (n + 1) + ex["slot"], sentinel
-    )
-    if cap_m > cap:
-        key = jnp.concatenate(
-            [key, jnp.full((cap_m - cap,), sentinel, jnp.int32)]
-        )
-    if (num_tiles + 1) * (n + 1) >= 2**31:
-        raise ValueError(
-            "compact binning requires (num_tiles+1)*(N+1) < 2^31 for the "
-            f"packed sort key (num_tiles={num_tiles}, N={n}); reduce the "
-            "pool capacity or image size"
-        )
-    (sorted_key,) = lax.sort((key,), num_keys=1)
-    pair_slot = sorted_key % (n + 1)
-    pair_tile = jnp.minimum(sorted_key // (n + 1), num_tiles)
-    pair_slot = jnp.where(pair_slot == n, -1, pair_slot)
-
-    tile_count = ex["tile_count"]
-    tile_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_count)]
-    )  # [num_tiles + 1]; tile_start[num_tiles] = total kept pairs
-    total_kept = tile_start[num_tiles]
-
-    # --- per-mega-block distinct-tile lists (backward prefetch) ---
-    # Nonempty tile runs are dense and ordered, so the tiles intersecting a
-    # block form a contiguous range of the nonempty-tile list; two
-    # small searchsorted calls (num_mega queries) find the range.
-    nz = tile_count > 0
-    nz_rank = jnp.cumsum(nz.astype(jnp.int32)) - nz.astype(jnp.int32)
-    tidx = jnp.arange(num_tiles, dtype=jnp.int32)
-    nz_tiles = jnp.full((num_tiles + 1,), num_tiles, jnp.int32).at[
-        jnp.where(nz, nz_rank, num_tiles)
-    ].set(tidx, mode="drop")
-    nz_starts = jnp.full((num_tiles + 1,), cap_m + 1, jnp.int32).at[
-        jnp.where(nz, nz_rank, num_tiles)
-    ].set(tile_start[:num_tiles], mode="drop")
-
-    b0 = jnp.arange(num_mega, dtype=jnp.int32) * M
-    lo = jnp.searchsorted(nz_starts, b0, side="right").astype(jnp.int32) - 1
-    hi = (
-        jnp.searchsorted(nz_starts, b0 + (M - 1), side="right").astype(
-            jnp.int32
-        )
-        - 1
-    )
-    has_pairs = b0 < total_kept
-    ntiles = jnp.where(has_pairs, hi - lo + 1, 0)
-    lo = jnp.clip(lo, 0, num_tiles)
-    block_tiles = nz_tiles[
-        jnp.clip(lo[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
-                 0, num_tiles)
-    ]
-    block_tiles = jnp.where(
-        jnp.arange(K, dtype=jnp.int32)[None, :] < ntiles[:, None],
-        block_tiles,
-        num_tiles,
-    )
-
-    return CompactBinning(
-        pair_slot=pair_slot,
-        pair_tile=pair_tile.astype(jnp.int32),
-        tile_start=tile_start[:num_tiles],
-        tile_count=tile_count,
-        block_tiles=block_tiles.astype(jnp.int32),
-        block_ntiles=ntiles.astype(jnp.int32),
-        num_pairs=ex["total"],
-        max_block_tiles=jnp.max(ntiles),
-        depth_order=ex["order"],
-        gauss_offsets=ex["offsets"],
-        num_rows=ex["rows_total"],
     )

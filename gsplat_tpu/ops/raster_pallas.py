@@ -229,6 +229,15 @@ def _fwd_kernel(block_meta_ref, feat_ref, out_ref, *, cfg: RenderConfig):
         )  # [4, P]
         out_ref[0, 0:4, :] = rgb_in + contrib
         out_ref[0, 4:5, :] = T_out
+        # Row 5: ACTIVE block count for this tile (blocks the early-exit
+        # did not skip). Skipped/dead blocks never write, so the final
+        # value is the per-tile backward-pass block demand — the backward
+        # kernel emits exact zeros for skipped blocks, and the
+        # saturation-compacted VJP reduction (cfg.bwd_pairs,
+        # rasterize.gather_pair_features) needs this demand reported
+        # (RenderAux.bwd_demand) to size its static capacity.
+        cnt_in = out_ref[0, 5:6, :]
+        out_ref[0, 5:6, :] = jnp.where(garbage_free, 1.0, cnt_in + 1.0)
 
 
 def _bwd_kernel(block_meta_ref, feat_ref, fwd_ref, gout_ref,

@@ -33,10 +33,8 @@ from jax import lax
 
 from ..config import RenderConfig
 from .binning import (
-    CompactBinning,
     TileBinning,
     bin_gaussians,
-    bin_gaussians_compact,
     depth_order_and_rank,
 )
 from .projection import ProjectedGaussians
@@ -52,10 +50,6 @@ class RenderAux(NamedTuple):
     per_tile_capacity: int
     depth: jnp.ndarray  # [H, W] accumulated depth (sum w_i * z_i)
     alpha: jnp.ndarray  # [H, W] opacity = 1 - final transmittance
-    # Segmented backend only: largest distinct-tile count of any mega block
-    # (kernel prefetch degrades past cfg.tile_list_cap; reported, never
-    # silent).
-    max_block_tiles: jnp.ndarray | None = None
     # Per-gaussian screen radius for this view ([N] int32, 0 = culled);
     # consumed by the paper-style ADC's screen-size pruning.
     screen_radius: jnp.ndarray | None = None
@@ -71,6 +65,13 @@ class RenderAux(NamedTuple):
     num_pairs_kept: jnp.ndarray | None = None
     trunc_demand: jnp.ndarray | None = None
     trunc_capacity: int = 0
+    # Saturation-compacted backward (cfg.bwd_pairs): pair slots whose
+    # blocks the forward kernel actually composited (skipped blocks carry
+    # exact-zero cotangents and are dropped from the VJP reduction sort).
+    # bwd_demand > bwd_capacity means overflow blocks lost their
+    # gradients — reported, never silent; fit() auto-grows.
+    bwd_demand: jnp.ndarray | None = None
+    bwd_capacity: int = 0
 
 
 def _composite_chunk(feats: jnp.ndarray, mask: jnp.ndarray, cfg: RenderConfig):
@@ -145,9 +146,9 @@ def _pair_features(proj: ProjectedGaussians, colors: jnp.ndarray, dtype):
     return jnp.where(proj.valid[:, None], feat, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def gather_pair_features(cap: int, truncated: bool, feat10, pair_slot,
-                         gauss_offsets):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def gather_pair_features(cap: int, truncated: bool, bwd_cap: int, feat10,
+                         pair_slot, gauss_offsets):
     """Expand per-gaussian features to the sorted pair list, [10, padded].
 
     Forward: one pairs-sized gather through the depth-rank index
@@ -181,28 +182,65 @@ def gather_pair_features(cap: int, truncated: bool, feat10, pair_slot,
     sort, not a per-query scan; the N-query scan form is the
     measured-catastrophic one). Dropped pairs contribute exactly zero
     gradient, matching their zero contribution to the truncated forward.
+
+    ``bwd_cap`` (cfg.bwd_pairs, round 5): saturation-compacted backward.
+    The Pallas backward kernel writes EXACT ZEROS for every skipped block
+    (saturated-tile continuation blocks + dead capacity headroom —
+    60-70% of blocks on dense trained scenes), yet those zero cotangents
+    ride the 10-payload reduction sort, which dominates the training
+    backward (~47 of 89 ms at the trained-ckpt 1080p bench). With
+    bwd_cap > 0 the VJP first drops all-zero 128-pair blocks with one
+    block-granular compaction gather (a [nb]-sized any-nonzero reduce +
+    a tiny argsort; index-COUNT cheap), then sorts only the kept
+    ``bwd_cap`` slots. Exact: dropped rows are identically zero. If more
+    than bwd_cap nonzero slots exist, the overflow blocks' gradients are
+    dropped — the forward kernel reports the per-view demand as
+    ``RenderAux.bwd_demand`` (never silent; fit() auto-grows).
     """
     n = feat10.shape[0]
     out = feat10[jnp.clip(pair_slot, 0, n - 1)].T  # [10, padded_pairs]
     return jnp.where(pair_slot[None, :] >= 0, out, 0.0)
 
 
-def _gpf_fwd(cap, truncated, feat10, pair_slot, gauss_offsets):
+def _gpf_fwd(cap, truncated, bwd_cap, feat10, pair_slot, gauss_offsets):
     out = gather_pair_features(
-        cap, truncated, feat10, pair_slot, gauss_offsets
+        cap, truncated, bwd_cap, feat10, pair_slot, gauss_offsets
     )
     return out, (pair_slot, gauss_offsets, feat10.shape[0])
 
 
-def _gpf_bwd(cap, truncated, res, g):
+_BWD_BLOCK = 128  # = RenderConfig.pair_block default; zero runs written by
+# the backward kernel are whole pair blocks, so any 128-divisor aligns.
+
+
+def _gpf_bwd(cap, truncated, bwd_cap, res, g):
     pair_slot, gauss_offsets, n = res
     rows = g.shape[0]
+    padded = g.shape[1]
     key = jnp.where(pair_slot >= 0, pair_slot, n)  # padding groups last
+
+    compacted = bool(bwd_cap) and padded % _BWD_BLOCK == 0
+    if compacted:
+        nb = padded // _BWD_BLOCK
+        kb = min(-(-int(bwd_cap) // _BWD_BLOCK), nb)
+        gb = g.reshape(rows, nb, _BWD_BLOCK)
+        nz = jnp.any(gb != 0.0, axis=(0, 2))  # [nb] streaming reduce
+        # Kept-block ids first (order irrelevant — the sort follows).
+        order = jnp.argsort(jnp.logical_not(nz)).astype(jnp.int32)
+        src = order[:kb]
+        g_c = gb[:, src, :].reshape(rows, kb * _BWD_BLOCK)
+        key_b = key.reshape(nb, _BWD_BLOCK)[src].reshape(-1)
+        # Dropped-but-nonzero blocks (demand > bwd_cap) lose their grads;
+        # the forward reports bwd_demand so this is never silent.
+        key, g = key_b, g_c
+
     sorted_ops = lax.sort(
         (key,) + tuple(g[i] for i in range(rows)), num_keys=1
     )
     dpre = jnp.stack(sorted_ops[1:], axis=0)
-    if truncated:
+    if truncated or compacted:
+        # Subset of each gaussian's pairs -> recover group boundaries from
+        # the sorted keys themselves.
         bounds = jnp.searchsorted(
             sorted_ops[0], jnp.arange(n + 1, dtype=jnp.int32), side="left",
             method="sort",
@@ -347,7 +385,7 @@ def rasterize_binned_pallas(
     # gradient). The custom VJP reduces per-pair grads via the presort
     # permutation instead of a duplicate-index scatter-add.
     pair_feat10 = gather_pair_features(
-        cfg.max_pairs, cfg.tile_rank_cap > 0, feat10, s_idx,
+        cfg.max_pairs, cfg.tile_rank_cap > 0, cfg.bwd_pairs, feat10, s_idx,
         binning.gauss_offsets,
     )
     pair_feat = jnp.concatenate(
@@ -388,96 +426,20 @@ def rasterize_binned_pallas(
         num_pairs_kept=binning.num_pairs_kept,
         trunc_demand=binning.trunc_demand,
         trunc_capacity=cfg.trunc_padded_pairs if cfg.tile_rank_cap else 0,
-    )
-    return img, aux._replace(screen_radius=proj.radius)
-
-
-def rasterize_binned_seg(
-    proj: ProjectedGaussians,
-    colors: jnp.ndarray,
-    binning: CompactBinning,
-    cfg: RenderConfig,
-):
-    """Rasterize via the segmented compact-layout kernel (ops/raster_seg.py).
-
-    No alignment padding: the pair list is `cfg.compact_pairs` long (vs
-    `cfg.padded_pairs` for the aligned kernel), shrinking every pairs-sized
-    sort/gather; the kernel segments tile-spanning mega blocks in-register.
-    """
-    from .raster_seg import (
-        FEAT_WIDTH,
-        SUB,
-        _use_interpret,
-        composite_pairs_seg,
-    )
-
-    if not _use_interpret():
-        if cfg.mega_block % SUB != 0:
-            raise ValueError(
-                f"backend='pallas_seg' requires mega_block to be a multiple "
-                f"of {SUB} (got {cfg.mega_block})"
+        # Row 5 of the kernel output = per-tile ACTIVE block count; unread
+        # tiles hold garbage -> mask by occupancy. Diagnostic only.
+        bwd_demand=lax.stop_gradient(
+            jnp.sum(
+                jnp.where(
+                    binning.tile_count > 0, out[:, 5, 0], 0.0
+                ).astype(jnp.int32)
             )
-        if (cfg.tile * cfg.tile) % 128 != 0:
-            raise ValueError(
-                f"backend='pallas_seg' on TPU requires tile*tile divisible "
-                f"by 128 (got tile={cfg.tile}); use tile=16, or backend='xla'"
-            )
-
-    T = cfg.tile
-    P = T * T
-    feat10 = _pair_features(proj, colors, jnp.float32)[binning.depth_order]
-    pf10 = gather_pair_features(
-        cfg.max_pairs, False, feat10, binning.pair_slot,
-        binning.gauss_offsets,
-    )
-    # Tile-local pixel coordinates + the per-pair tile-id row the kernel
-    # segments on. Tile ids are exact small integers in f32; stop_gradient
-    # keeps them out of the autodiff graph.
-    ox = ((binning.pair_tile % cfg.tiles_x) * T).astype(jnp.float32)
-    _ty = jnp.minimum(binning.pair_tile // cfg.tiles_x, cfg.tiles_y)
-    if cfg.view_tile_rows:
-        _ty = _ty % cfg.view_tile_rows
-    oy = (_ty * T).astype(jnp.float32)
-    tile_row = jax.lax.stop_gradient(
-        binning.pair_tile.astype(jnp.float32)
-    )[None, :]
-    pair_feat = jnp.concatenate(
-        [
-            (pf10[0] - ox)[None, :],
-            (pf10[1] - oy)[None, :],
-            pf10[2:10],
-            tile_row,
-            jnp.zeros(
-                (FEAT_WIDTH - 11, binning.pair_tile.shape[0]), jnp.float32
-            ),
-        ],
-        axis=0,
-    )
-
-    out = composite_pairs_seg(
-        pair_feat, binning.block_tiles, binning.block_ntiles, cfg
-    )  # [num_tiles, 8, P]: rows 0-3 rgb+depth, row 4 transmittance
-
-    occupied = (binning.tile_count > 0)[:, None, None]
-    tiles_out = jnp.where(occupied, out[:, 0:4, :], 0.0)
-    tiles_T = jnp.where(occupied[:, 0, :], out[:, 4, :], 1.0)
-    planes = jnp.concatenate([tiles_out, tiles_T[:, None, :]], axis=1)
-    planes = planes.reshape(cfg.tiles_y, cfg.tiles_x, 5, T, T)
-    planes = planes.transpose(0, 3, 1, 4, 2).reshape(
-        cfg.padded_height, cfg.padded_width, 5
-    )[: cfg.height, : cfg.width]
-    img = jnp.clip(planes[..., 0:3], 0.0, 1.0)
-
-    aux = RenderAux(
-        num_pairs=binning.num_pairs,
-        pair_capacity=cfg.max_pairs,
-        max_tile_count=jnp.max(binning.tile_count),
-        per_tile_capacity=cfg.compact_pairs,
-        depth=planes[..., 3],
-        alpha=1.0 - planes[..., 4],
-        max_block_tiles=binning.max_block_tiles,
-        num_rows=binning.num_rows,
-        row_capacity=cfg.row_capacity if cfg.cull_mode == "ellipse" else 0,
+            * cfg.pair_block
+        ),
+        bwd_capacity=(
+            -(-cfg.bwd_pairs // cfg.pair_block) * cfg.pair_block
+            if cfg.bwd_pairs else 0
+        ),
     )
     return img, aux._replace(screen_radius=proj.radius)
 
@@ -487,13 +449,13 @@ def resolve_backend(cfg: RenderConfig) -> str:
     if backend == "auto":
         # Aligned Pallas kernel on TPU; XLA fallback elsewhere
         # (interpret-mode Pallas is only for small kernel-parity tests —
-        # it walks the grid in python). One alternative kernel is opt-in
-        # and bit-compatible: 'pallas_seg' (compact unaligned layout —
-        # memory-lean, loses the saturation early-exit; NEXT.md §13).
-        # A third variant ('pallas_mega', 8 blocks per grid step + manual
-        # flush DMAs) was retired in round 4: it regressed the
-        # trained-checkpoint bench 54 -> 65 ms in two straight rounds
-        # (NEXT.md §15).
+        # it walks the grid in python). Two retired kernel variants:
+        # 'pallas_mega' (8 blocks/grid step, round 4 — regressed the
+        # trained-ckpt bench two rounds running, NEXT.md §15) and
+        # 'pallas_seg' (compact unaligned layout, round 5 — slower end-to-
+        # end because tile-spanning sub-blocks defeat the saturation
+        # early-exit, incompatible with rank truncation, 2-22 min Mosaic
+        # compiles; NEXT.md §13).
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     return backend
 
@@ -504,14 +466,9 @@ def rasterize_binned(
     binning: TileBinning,
     cfg: RenderConfig,
 ):
-    """Rasterize a precomputed ALIGNED binning (Pallas or XLA fallback).
-
-    Callers holding a CompactBinning should use rasterize_binned_seg; a
-    'pallas_seg' backend request degrades to the aligned Pallas kernel here
-    because the layout is already aligned.
-    """
+    """Rasterize a precomputed ALIGNED binning (Pallas or XLA fallback)."""
     backend = resolve_backend(cfg)
-    if backend in ("pallas", "pallas_seg"):
+    if backend == "pallas":
         return rasterize_binned_pallas(proj, colors, binning, cfg)
     return rasterize_binned_xla(proj, colors, binning, cfg)
 
@@ -519,15 +476,11 @@ def rasterize_binned(
 def rasterize(proj: ProjectedGaussians, colors: jnp.ndarray, cfg: RenderConfig):
     """Bin + rasterize one view. Returns (image [H, W, 3], RenderAux)."""
     backend = resolve_backend(cfg)
-    if backend == "pallas_seg":
-        binning = bin_gaussians_compact(proj, cfg)
-        out = rasterize_binned_seg(proj, colors, binning, cfg)
+    binning = bin_gaussians(proj, cfg)
+    if backend == "pallas":
+        out = rasterize_binned_pallas(proj, colors, binning, cfg)
     else:
-        binning = bin_gaussians(proj, cfg)
-        if backend == "pallas":
-            out = rasterize_binned_pallas(proj, colors, binning, cfg)
-        else:
-            out = rasterize_binned_xla(proj, colors, binning, cfg)
+        out = rasterize_binned_xla(proj, colors, binning, cfg)
     if cfg.background != (0.0, 0.0, 0.0):
         # Composite over a solid background (Blender-style white-bg scenes;
         # beyond reference parity — it composites over black only,

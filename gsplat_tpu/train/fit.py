@@ -319,6 +319,28 @@ def fit(
                             f"{tdemand}, capacity {tcap}; raise "
                             f"RenderConfig.trunc_pairs"
                         )
+            # Saturation-compacted backward: overflow loses gradient blocks
+            # — same never-silent + auto-grow contract (cfg.bwd_pairs).
+            if "bwd_demand" in metrics:
+                bdemand = int(metrics["bwd_demand"])
+                bcap = int(metrics["bwd_capacity"])
+                if bdemand > bcap:
+                    report.overflow_events += 1
+                    if auto_capacity:
+                        new_bp = -(-int(bdemand * 1.25) // 1024) * 1024
+                        log_fn(
+                            f"iter {it}: backward-compaction overflow "
+                            f"(demand {bdemand}, capacity {bcap}) — growing "
+                            f"bwd_pairs -> {new_bp} (recompile)"
+                        )
+                        render_cfg = render_cfg.with_(bwd_pairs=new_bp)
+                        step_fn = build_step(render_cfg)
+                    else:
+                        log_fn(
+                            f"iter {it}: backward-compaction overflow — "
+                            f"demand {bdemand}, capacity {bcap}; raise "
+                            f"RenderConfig.bwd_pairs"
+                        )
             ring_ovf = int(metrics.get("ring_overflow", 0))
             if ring_ovf > 0:
                 report.overflow_events += 1

@@ -197,6 +197,9 @@ def batch_loss_fn(
         if render_cfg.tile_rank_cap:
             metrics["trunc_demand"] = aux.trunc_demand
             metrics["trunc_capacity"] = jnp.int32(aux.trunc_capacity)
+        if render_cfg.bwd_pairs and aux.bwd_demand is not None:
+            metrics["bwd_demand"] = aux.bwd_demand
+            metrics["bwd_capacity"] = jnp.int32(aux.bwd_capacity)
         if uv_taps is not None:
             radii = jax.lax.stop_gradient(aux.screen_radius)  # [B, N]
             metrics["visible"] = jnp.sum((radii > 0).astype(jnp.int32), axis=0)
@@ -218,9 +221,11 @@ def batch_loss_fn(
         else:
             radius = jax.lax.stop_gradient(aux.screen_radius)
             extra = (radius,)
+        bd = (aux.bwd_demand if aux.bwd_demand is not None
+              else jnp.int32(-1))  # XLA fallback: no kernel demand signal
         return carry, (total, comps["l1"], comps["ssim"],
                        aux.num_pairs, aux.num_rows,
-                       aux.trunc_demand) + extra
+                       aux.trunc_demand, bd) + extra
 
     # NOTE: no jax.checkpoint here — the Pallas rasterizer's custom VJP
     # keeps only O(pixels) residuals and the XLA fallback checkpoints per
@@ -245,10 +250,21 @@ def batch_loss_fn(
             "trunc_capacity": jnp.int32(render_cfg.trunc_padded_pairs),
         }
 
+    def bwd_metrics(bds):
+        if not render_cfg.bwd_pairs:
+            return {}
+        return {
+            "bwd_demand": jnp.max(bds),
+            "bwd_capacity": jnp.int32(
+                -(-render_cfg.bwd_pairs // render_cfg.pair_block)
+                * render_cfg.pair_block
+            ),
+        }
+
     if uv_taps is None:
         b = batch["c2w"].shape[0]
         xs = (batch, jnp.zeros((b,), jnp.float32))  # dummy scan operand
-        _, (totals, l1s, ssims, pairs, rows, tds) = jax.lax.scan(
+        _, (totals, l1s, ssims, pairs, rows, tds, bds) = jax.lax.scan(
             view_loss, 0.0, xs
         )
         return jnp.mean(totals), {
@@ -258,8 +274,9 @@ def batch_loss_fn(
             "pair_capacity": cap,
             **row_metrics(rows),
             **trunc_metrics(tds),
+            **bwd_metrics(bds),
         }
-    _, (totals, l1s, ssims, pairs, rows, tds, radii) = jax.lax.scan(
+    _, (totals, l1s, ssims, pairs, rows, tds, bds, radii) = jax.lax.scan(
         view_loss, 0.0, xs
     )
     return jnp.mean(totals), {
@@ -271,6 +288,7 @@ def batch_loss_fn(
         "max_radius": jnp.max(radii, axis=0),  # [N]
         **row_metrics(rows),
         **trunc_metrics(tds),
+        **bwd_metrics(bds),
     }
 
 

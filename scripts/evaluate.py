@@ -46,7 +46,7 @@ def main():
                         "low-pass, 'mip' also energy-compensates opacity "
                         "(Mip-Splatting Eq. 6)")
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "xla"))
     p.add_argument("--json", action="store_true", help="print JSON only")
     p.add_argument("--render_batch", type=int, default=1,
                    help="views rendered per launch via the shared-binning "

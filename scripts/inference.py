@@ -70,7 +70,7 @@ def main():
                         "low-pass, 'mip' also energy-compensates opacity "
                         "(Mip-Splatting Eq. 6)")
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "xla"))
     p.add_argument("--spmd", action="store_true",
                    help="render over ALL devices: poses shard over the mesh "
                         "'data' axis, frames split into --spmd_bands bands")

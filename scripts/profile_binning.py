@@ -186,7 +186,7 @@ def main():
     bench(
         "gather",
         lambda f, s: gather_pair_features(
-            tcfg.max_pairs, True, f, s, binning.gauss_offsets),
+            tcfg.max_pairs, True, 0, f, s, binning.gauss_offsets),
         feat10, binning.pair_slot, iters=args.iters,
     )
 

@@ -18,13 +18,21 @@ from gsplat_tpu.ops.rasterize import rasterize_binned
 from gsplat_tpu.ops.sh import evaluate_sh
 
 
+def _sync(out):
+    """Host-fetch one scalar: on axon, block_until_ready can NO-OP on a
+    re-dispatched executable (CLAUDE.md) — a device->host copy cannot."""
+    x = jax.tree.leaves(out)[0]
+    float(jnp.asarray(x).reshape(-1)[0])
+
+
 def timeit(fn, *args, iters=10):
     out = fn(*args)
     jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters, out
 
 
@@ -44,6 +52,12 @@ def main():
     ap.add_argument("--tile_rank_cap", type=int, default=0,
                     help="per-tile rank truncation; trunc_pairs is "
                          "demand-sized from one probe binning run")
+    ap.add_argument("--auto_pairs", action="store_true",
+                    help="size max_pairs to 1.2x the probe's (post-cull) "
+                         "pair demand, like the serving CLI")
+    ap.add_argument("--bwd_pairs", type=int, default=0,
+                    help="saturation-compacted backward capacity "
+                         "(-1 = size from the probe render's bwd_demand)")
     args = ap.parse_args()
 
     n = 2**17
@@ -72,8 +86,8 @@ def main():
     cx = jnp.float32(args.width / 2.0)
     cy = jnp.float32(args.height / 2.0)
 
-    if args.tile_rank_cap:
-        # Demand-size the truncated capacity from one probe binning run
+    if args.tile_rank_cap or args.auto_pairs:
+        # Demand-size the static capacities from one probe binning run
         # (what --auto_pairs does in the serving CLI).
         pcov = jax.jit(
             lambda p: build_cov3d_packed(p["scale_raw"], p["q_raw"])
@@ -81,11 +95,38 @@ def main():
         pproj = jax.jit(lambda p, cov: project_gaussians(
             p["pos"], cov, p["opacity_raw"], c2w, fx, fy, cx, cy, cfg,
             extra_valid=alive))(params, pcov)
-        td = int(jax.jit(lambda pr: bin_gaussians(pr, cfg).trunc_demand)(pproj))
+        probe = jax.jit(
+            lambda pr: (lambda b: (b.trunc_demand, b.num_pairs))(
+                bin_gaussians(pr, cfg)
+            )
+        )(pproj)
+        if args.tile_rank_cap:
+            td = int(probe[0])
+            cfg = cfg.with_(
+                trunc_pairs=max(4096, -(-int(td * 1.2) // 4096) * 4096)
+            )
+            print(f"trunc slot demand {td} -> trunc_pairs {cfg.trunc_pairs}")
+        if args.auto_pairs:
+            pd = int(probe[1])
+            cfg = cfg.with_(
+                max_pairs=max(4096, -(-int(pd * 1.2) // 4096) * 4096)
+            )
+            print(f"pair demand {pd} -> max_pairs {cfg.max_pairs}")
+
+    if args.bwd_pairs == -1:
+        # Size from the probe render's active-block demand.
+        from gsplat_tpu import render_from_params as _rfp
+
+        _, paux = jax.jit(
+            lambda p: _rfp(p, c2w, fx, fy, cx, cy, cfg, alive=alive)
+        )(params)
+        bd = int(paux.bwd_demand)
         cfg = cfg.with_(
-            trunc_pairs=max(4096, -(-int(td * 1.2) // 4096) * 4096)
+            bwd_pairs=max(4096, -(-int(bd * 1.2) // 4096) * 4096)
         )
-        print(f"trunc slot demand {td} -> trunc_pairs {cfg.trunc_pairs}")
+        print(f"bwd demand {bd} -> bwd_pairs {cfg.bwd_pairs}")
+    elif args.bwd_pairs:
+        cfg = cfg.with_(bwd_pairs=args.bwd_pairs)
 
     cov_fn = jax.jit(lambda p: build_cov3d_packed(p["scale_raw"], p["q_raw"]))
     sh_fn = jax.jit(lambda p: evaluate_sh(p["f_dc"], p["f_rest"], p["pos"], c2w))
@@ -114,7 +155,8 @@ def main():
         b = bin_gaussians(pr, cfg)
         f10 = _pair_features(pr, col, jnp.float32)[b.depth_order]
         return gather_pair_features(cfg.max_pairs, cfg.tile_rank_cap > 0,
-                                    f10, b.pair_slot, b.gauss_offsets)
+                                    cfg.bwd_pairs, f10, b.pair_slot,
+                                    b.gauss_offsets)
 
     t_pf_fwd, _ = timeit(jax.jit(lambda p: to_pf(p).sum()), params)
     t_pf_bwd, _ = timeit(

@@ -113,7 +113,7 @@ def main():
                    help="remap the DC color term for INRIA-convention "
                         "viewers (approximate for view-dependent color)")
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "xla"))
     p.add_argument("--render_batch", type=int, default=1,
                    help="poses rendered per launch via the shared-binning "
                         "batched path (1 = per-pose rendering)")

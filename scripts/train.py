@@ -38,6 +38,11 @@ def main():
                         "intervals, fewer pairs, identical images)")
     p.add_argument("--transmittance_math", default="cumprod",
                    choices=("log", "cumprod"))
+    p.add_argument("--bwd_pairs", type=int, default=0,
+                   help="saturation-compacted backward: static "
+                        "capacity of the nonzero-cotangent pair "
+                        "list (0 = off; fit() auto-grows on "
+                        "overflow, demand reported)")
     p.add_argument("--tile_rank_cap", type=int, default=0,
                    help="keep only the front-most K pairs per tile "
                         "(K=1024: ~4x fewer pairs at ~0 image error on "
@@ -66,7 +71,7 @@ def main():
     p.add_argument("--checkpoint_interval", type=int, default=1000)
     p.add_argument("--resume_from", default=None)
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "xla"))
     p.add_argument("--adc_mode", default="reference",
                    choices=("reference", "paper"),
                    help="density control rules: the reference's world-space"
@@ -123,6 +128,7 @@ def main():
         cull_mode=args.cull_mode,
         transmittance_math=args.transmittance_math,
         tile_rank_cap=args.tile_rank_cap,
+        bwd_pairs=args.bwd_pairs,
         aa_mode=args.aa_mode,
         background=parse_background(args.background),
     )

@@ -64,7 +64,7 @@ def main():
                         "of a short run leaves no iterations to recover)")
     p.add_argument("--densification_interval", type=int, default=None)
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "pallas", "pallas_seg", "xla"))
+                   choices=("auto", "pallas", "xla"))
     p.add_argument("--json", action="store_true", help="print JSON only")
     args = p.parse_args()
 

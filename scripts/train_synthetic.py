@@ -66,6 +66,11 @@ def main():
     p.add_argument("--trunc_pairs", type=int, default=0,
                    help="static capacity of the truncated pair list "
                         "(0 = worst case; fit() auto-grows on overflow)")
+    p.add_argument("--bwd_pairs", type=int, default=0,
+                   help="saturation-compacted backward: static "
+                        "capacity of the nonzero-cotangent pair "
+                        "list (0 = off; fit() auto-grows on "
+                        "overflow, demand reported)")
     p.add_argument("--tile_rank_cap", type=int, default=0,
                    help="train THROUGH the rank-truncated renderer. "
                         "MEASURED REGRESSION for from-scratch training "
@@ -99,6 +104,7 @@ def main():
     cfg = RenderConfig(
         height=args.height, width=args.width, max_pairs=args.max_pairs,
         tile_rank_cap=args.tile_rank_cap, trunc_pairs=args.trunc_pairs,
+        bwd_pairs=args.bwd_pairs,
     )
     fx = fy = 0.9 * args.width
     cx, cy = args.width / 2.0, args.height / 2.0

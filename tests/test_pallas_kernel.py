@@ -147,61 +147,10 @@ def test_depth_gradient_flows():
     assert np.abs(gz).max() > 0.0
 
 
-# --- segmented compact-layout kernel (ops/raster_seg.py) -------------------
-
-SEG_CFG = CFG.with_(backend="pallas_seg", mega_block=256, tile_list_cap=4)
-
-
-def test_seg_forward_matches_xla():
-    scene = make_scene(None, n=256, seed_offset=11)
-    params = _params(scene)
-    c2w = jnp.asarray(scene["c2w"])
-    img_s, aux_s = _render(params, c2w, "pallas_seg", SEG_CFG)
-    img_x, aux_x = _render(params, c2w, "xla", SEG_CFG)
-    np.testing.assert_allclose(
-        np.asarray(img_s), np.asarray(img_x), atol=2e-5
-    )
-    assert int(aux_s.num_pairs) == int(aux_x.num_pairs)
-    assert int(aux_s.max_block_tiles) >= 1
-
-
-def test_seg_gradients_match_xla():
-    """Full-parameter gradients through the segmented custom VJP, with the
-    tile-list cap small enough to exercise the blocking-fallback fetch."""
-    scene = make_scene(None, n=200, seed_offset=12)
-    params = _params(scene)
-    c2w = jnp.asarray(scene["c2w"])
-    cfg = SEG_CFG.with_(tile_list_cap=2)  # force prefetch-miss fallback
-
-    def loss(p, cfg):
-        img, _ = _render(p, c2w, cfg.backend, cfg)
-        weight = jnp.cos(0.37 * jnp.arange(img.size).reshape(img.shape))
-        return jnp.sum(img * weight)
-
-    g_s = jax.grad(lambda p: loss(p, cfg))(params)
-    g_x = jax.grad(lambda p: loss(p, cfg.with_(backend="xla")))(params)
-    for k in g_s:
-        a, b = np.asarray(g_s[k]), np.asarray(g_x[k])
-        scale = np.abs(b).max() + 1e-12
-        assert np.isfinite(a).all(), k
-        assert np.abs(a - b).max() / scale < 1e-4, (
-            f"{k}: rel err {np.abs(a - b).max() / scale}"
-        )
-
-
-def test_seg_saturated_scene_early_exit_correct():
-    """Opaque-on-opaque stacking: the per-sub-block early exit must not
-    change the image."""
-    scene = make_scene(None, n=256, seed_offset=13)
-    scene = dict(scene)
-    scene["opacity_raw"] = scene["opacity_raw"] + 4.0  # near-opaque splats
-    params = _params(scene)
-    c2w = jnp.asarray(scene["c2w"])
-    img_s, _ = _render(params, c2w, "pallas_seg", SEG_CFG)
-    img_x, _ = _render(params, c2w, "xla", SEG_CFG)
-    np.testing.assert_allclose(
-        np.asarray(img_s), np.asarray(img_x), atol=2e-5
-    )
+# The segmented compact-layout kernel ('pallas_seg', ops/raster_seg.py) was
+# retired in round 5 by the raster_mega standard: measured slower end-to-end
+# (tile-spanning sub-blocks defeat the saturation early-exit, NEXT.md §13),
+# incompatible with rank truncation, and 2-22 min Mosaic compiles.
 
 
 # The mega-stepped aligned kernel ('pallas_mega', ops/raster_mega.py) was
@@ -374,3 +323,72 @@ def test_cumprod_transmittance_matches_log():
         assert err / scale < 1e-4, (
             f"grad[{k}] cumprod vs log: max abs {err} (rel {err / scale:.2e})"
         )
+
+
+# --- saturation-compacted backward reduction (cfg.bwd_pairs, round 5) ------
+
+def _bwd_scene(n=600):
+    rng = np.random.default_rng(7)
+    return {
+        "pos": np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                         rng.uniform(3, 8, n)], -1).astype(np.float32),
+        "scale_raw": (rng.normal(0, 0.3, (n, 3)) - 1.6).astype(np.float32),
+        "q_raw": (rng.normal(0, 1, (n, 4)) + [0, 0, 0, 2]).astype(np.float32),
+        "opacity_raw": rng.normal(1.5, 1, n).astype(np.float32),
+        "f_dc": rng.normal(0, 0.8, (n, 3)).astype(np.float32),
+        "f_rest": rng.normal(0, 0.05, (n, 45)).astype(np.float32),
+    }
+
+
+BWD_CFG = RenderConfig(height=128, width=128, max_pairs=2**14,
+                       max_per_tile=512, backend="pallas")
+
+
+def _bwd_loss(params, cfg):
+    img, aux = render_from_params(
+        params, jnp.eye(4), 150.0, 150.0, 64.0, 64.0, cfg
+    )
+    w = jnp.cos(0.37 * jnp.arange(img.size).reshape(img.shape))
+    return jnp.sum(img * w), aux
+
+
+def test_satbwd_gradients_bit_exact_when_sized():
+    """With bwd_pairs >= demand the compacted VJP sort must be BIT-exact:
+    dropped blocks are identically zero and lax.sort is stable, so the
+    kept cotangents reduce in the same relative order."""
+    params = {k: jnp.asarray(v) for k, v in _bwd_scene().items()}
+    (l0, aux0), g0 = jax.value_and_grad(
+        _bwd_loss, has_aux=True)(params, BWD_CFG)
+    demand = int(aux0.bwd_demand)
+    assert 0 < demand <= BWD_CFG.padded_pairs
+    # The demand (active blocks) must undercut the padded capacity, else
+    # the compaction saves nothing on this scene and the test is vacuous.
+    assert demand < BWD_CFG.padded_pairs
+    (lc, auxc), gc = jax.value_and_grad(_bwd_loss, has_aux=True)(
+        params, BWD_CFG.with_(bwd_pairs=demand)
+    )
+    assert float(l0) == float(lc)  # forward unchanged
+    for k in g0:
+        assert float(jnp.max(jnp.abs(g0[k] - gc[k]))) == 0.0, k
+
+
+def test_satbwd_overflow_reported_never_silent():
+    params = {k: jnp.asarray(v) for k, v in _bwd_scene().items()}
+    cfg = BWD_CFG.with_(bwd_pairs=256)  # way under demand
+    (_, aux), g = jax.value_and_grad(_bwd_loss, has_aux=True)(params, cfg)
+    assert int(aux.bwd_demand) > int(aux.bwd_capacity)
+    for k in g:  # lossy but finite
+        assert bool(jnp.isfinite(g[k]).all()), k
+
+
+def test_satbwd_with_rank_truncation():
+    """bwd_pairs composes with tile_rank_cap (the trunc-compacted layout
+    feeds the same gather VJP)."""
+    params = {k: jnp.asarray(v) for k, v in _bwd_scene().items()}
+    tcfg = BWD_CFG.with_(tile_rank_cap=256)
+    (_, aux0), g0 = jax.value_and_grad(_bwd_loss, has_aux=True)(params, tcfg)
+    (_, _), gc = jax.value_and_grad(_bwd_loss, has_aux=True)(
+        params, tcfg.with_(bwd_pairs=int(aux0.bwd_demand))
+    )
+    for k in g0:
+        assert float(jnp.max(jnp.abs(g0[k] - gc[k]))) == 0.0, k
