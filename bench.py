@@ -477,12 +477,30 @@ def bench_train_step(params, iters):
         "cx": jnp.full((B,), cx), "cy": jnp.full((B,), cy),
     }
     out = {}
-    for label, batched in (("scan", False), ("batched", True)):
+    # Saturation-compacted backward sizing: probe the per-view active-pair
+    # demand from one forward render (RenderAux.bwd_demand), 1.3x headroom
+    # (training geometry shifts the active set between steps; fit()
+    # auto-grows on overflow).
+    try:
+        bprobe = jax.jit(
+            lambda p, c: render_from_params(
+                p, c, fx, fy, cx, cy, cfg)[1].bwd_demand
+        )
+        bd = max(int(bprobe(params, c2ws[i])) for i in range(B))
+        bcfg = cfg.with_(
+            bwd_pairs=max(4096, -(-int(bd * 1.3) // 4096) * 4096)
+        )
+        out["train_bwd_demand"] = bd
+        variants = (("scan", False, cfg), ("batched", True, cfg),
+                    ("batched_satbwd", True, bcfg))
+    except Exception:  # non-pallas backend: no demand signal
+        variants = (("scan", False, cfg), ("batched", True, cfg))
+    for label, batched, rcfg in variants:
         tcfg = TrainConfig(
             capacity=n, batch_size=B, batched_render=batched,
             densification_interval=10**9, opacity_reset_interval=10**9,
         )
-        step = make_train_step(cfg, tcfg)
+        step = make_train_step(rcfg, tcfg)
         # The compiled step donates the state buffers — give each variant
         # its own copy of the pool.
         fresh = jax.tree.map(jnp.array, pool)

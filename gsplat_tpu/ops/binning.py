@@ -319,9 +319,15 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
         jnp.concatenate([starts[:1], starts[1:] - starts[:-1], zero1]),
         mode="drop",
     )
-    slot = jnp.cumsum(acc0)[:cap] - 1  # searchsorted(offsets, p,'right')-1
-    packed_p = jnp.cumsum(acc1)[:cap]
-    start_p = jnp.cumsum(acc2)[:cap]
+    # The three cumsums run BATCHED over one stacked [3, cap+1] array:
+    # cumsum is pass-count bound on TPU, and one 3-row sweep costs 2.7 ms
+    # where three 1-D sweeps cost 3 x 1.7 (profile_binning, round 5) —
+    # the mirror image of the scatter finding above (scatters want to be
+    # rank-1, cumsums want to be batched).
+    cums = jnp.cumsum(jnp.stack([acc0, acc1, acc2]), axis=1)
+    slot = cums[0, :cap] - 1  # searchsorted(offsets, p, 'right') - 1
+    packed_p = cums[1, :cap]
+    start_p = cums[2, :cap]
     pair_ok = slot < n
 
     local = p - start_p

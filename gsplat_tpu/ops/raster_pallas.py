@@ -371,8 +371,15 @@ def _fwd_pallas(pair_feat, block_meta, cfg: RenderConfig):
 
 
 def _bwd_pallas(pair_feat, block_meta, fwd_out, gout, cfg: RenderConfig):
+    """Backward kernel over `block_meta.shape[0]` blocks.
+
+    The block list may be the full binning grid or a COMPACTED subset of
+    it (rasterize._composite_gathered: only the forward's active blocks) —
+    the kernel only requires that each tile's blocks are consecutive, in
+    depth order, starting with a META_FIRST block.
+    """
     P = cfg.tile * cfg.tile
-    num_blocks = cfg.num_trunc_blocks
+    num_blocks = block_meta.shape[0]
     G = cfg.pair_block
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -392,7 +399,7 @@ def _bwd_pallas(pair_feat, block_meta, fwd_out, gout, cfg: RenderConfig):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((FEAT_WIDTH, cfg.trunc_padded_pairs),
+        out_shape=jax.ShapeDtypeStruct((FEAT_WIDTH, num_blocks * G),
                                        jnp.float32),
         interpret=_use_interpret(),
     )(block_meta, pair_feat, fwd_out, gout)

@@ -263,6 +263,115 @@ def _gpf_bwd(cap, truncated, bwd_cap, res, g):
 gather_pair_features.defvjp(_gpf_fwd, _gpf_bwd)
 
 
+def _reduce_pair_grads(key, g_rows, n):
+    """Sorted-reduction of per-pair cotangent rows to per-gaussian grads.
+
+    key: [M] group key in [0, n] (n = padding); g_rows: [10, M].
+    Returns [N, 10] via sort + cumsum + searchsorted segment difference
+    (boundaries recovered from the keys — works for any pair SUBSET).
+    """
+    rows = g_rows.shape[0]
+    sorted_ops = lax.sort(
+        (key,) + tuple(g_rows[i] for i in range(rows)), num_keys=1
+    )
+    dpre = jnp.stack(sorted_ops[1:], axis=0)
+    bounds = jnp.searchsorted(
+        sorted_ops[0], jnp.arange(n + 1, dtype=jnp.int32), side="left",
+        method="sort",
+    ).astype(jnp.int32)
+    c = jnp.cumsum(dpre, axis=1)
+    cpad = jnp.concatenate([jnp.zeros((rows, 1), dpre.dtype), c], axis=1)
+    return (cpad[:, bounds[1:]] - cpad[:, bounds[:-1]]).T  # [N, 10]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _composite_gathered(cfg, feat10, pair_slot, block_meta):
+    """Fused pair-feature gather + Pallas composite with a COMPACTED
+    backward (cfg.bwd_pairs > 0 required).
+
+    Forward: identical to gather_pair_features + composite_pairs.
+    Backward: the forward kernel's per-tile active-block counts (output
+    row 5) identify the only blocks whose cotangents can be nonzero —
+    each tile's active blocks are a PREFIX of its block run (transmittance
+    is monotone), so the backward kernel itself runs on a block-compacted
+    grid (bwd_pairs/pair_block blocks instead of the full padded grid: at
+    the trained-ckpt bench pose 2k of 41k blocks are active), writes the
+    compacted [16, bwd_pairs] cotangents directly (never materializing
+    the padded dfeat), and the 10-payload reduction sort runs at
+    bwd_pairs length. Exact while RenderAux.bwd_demand <= bwd_pairs
+    (overflow drops trailing blocks' grads — reported, never silent).
+    """
+    from .raster_pallas import FEAT_WIDTH, _fwd_pallas
+
+    n = feat10.shape[0]
+    pf = feat10[jnp.clip(pair_slot, 0, n - 1)].T
+    pf = jnp.where(pair_slot[None, :] >= 0, pf, 0.0)
+    pair_feat = jnp.concatenate(
+        [pf, jnp.zeros((FEAT_WIDTH - 10, pair_slot.shape[0]), jnp.float32)],
+        axis=0,
+    )
+    return _fwd_pallas(pair_feat, block_meta, cfg)
+
+
+def _cg_fwd(cfg, feat10, pair_slot, block_meta):
+    from .raster_pallas import FEAT_WIDTH, _fwd_pallas
+
+    n = feat10.shape[0]
+    pf = feat10[jnp.clip(pair_slot, 0, n - 1)].T
+    pf = jnp.where(pair_slot[None, :] >= 0, pf, 0.0)
+    pair_feat = jnp.concatenate(
+        [pf, jnp.zeros((FEAT_WIDTH - 10, pair_slot.shape[0]), jnp.float32)],
+        axis=0,
+    )
+    out = _fwd_pallas(pair_feat, block_meta, cfg)
+    return out, (pair_feat, pair_slot, block_meta, out, n)
+
+
+def _cg_bwd(cfg, res, gout):
+    from .raster_pallas import META_DEAD, META_FIRST, META_SHIFT, _bwd_pallas
+
+    pair_feat, pair_slot, block_meta, out, n = res
+    G = cfg.pair_block
+    nb = block_meta.shape[0]
+    kb = min(-(-cfg.bwd_pairs // G), nb)
+
+    # Forward-active blocks: each tile's first cnt blocks (prefix — the
+    # early-exit condition is monotone in the block index).
+    cnt = out[:, 5, 0].astype(jnp.int32)  # [num_tiles]; valid where blocks
+    blk_tile = block_meta >> META_SHIFT
+    dead = (block_meta & META_DEAD) != 0
+    first = (block_meta & 3) == META_FIRST
+    b_idx = jnp.arange(nb, dtype=jnp.int32)
+    start = lax.cummax(jnp.where(first, b_idx, -1), axis=0)
+    rank = b_idx - start
+    keep = (
+        (~dead) & (start >= 0)
+        & (rank < cnt[jnp.clip(blk_tile, 0, cnt.shape[0] - 1)])
+    )
+    # Kept block ids first, ascending (stable) — per-tile prefixes stay
+    # consecutive and in depth order, as _bwd_pallas requires. Overflow
+    # (more than kb active blocks) drops trailing TILES' grads; the
+    # forward reports bwd_demand so fit()/the CLI can resize.
+    src = jnp.argsort(jnp.logical_not(keep)).astype(jnp.int32)[:kb]
+    meta_c = block_meta[src]
+    # Overflow-dropped slots must not run in the kernel: mark them dead.
+    valid_c = keep[src]
+    meta_c = jnp.where(valid_c, meta_c, META_DEAD)
+    feat_c = pair_feat.reshape(
+        pair_feat.shape[0], nb, G)[:, src, :].reshape(
+        pair_feat.shape[0], kb * G)
+    dfeat_c = _bwd_pallas(feat_c, meta_c, out, gout, cfg)  # [16, kb*G]
+    key_c = pair_slot.reshape(nb, G)[src].reshape(-1)
+    valid_k = jnp.repeat(valid_c[:, None], G, axis=1).reshape(-1)
+    key_c = jnp.where(valid_k & (key_c >= 0), key_c, n)
+    seg = _reduce_pair_grads(key_c, dfeat_c[0:10], n)
+    zero_i32 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (seg, zero_i32(pair_slot), zero_i32(block_meta))
+
+
+_composite_gathered.defvjp(_cg_fwd, _cg_bwd)
+
+
 def rasterize_binned_xla(
     proj: ProjectedGaussians,
     colors: jnp.ndarray,
@@ -384,21 +493,27 @@ def rasterize_binned_pallas(
     # Gather/scatter stay 10 rows wide (the kernel's pad rows carry no
     # gradient). The custom VJP reduces per-pair grads via the presort
     # permutation instead of a duplicate-index scatter-add.
-    pair_feat10 = gather_pair_features(
-        cfg.max_pairs, cfg.tile_rank_cap > 0, cfg.bwd_pairs, feat10, s_idx,
-        binning.gauss_offsets,
-    )
-    pair_feat = jnp.concatenate(
-        [
-            pair_feat10,
-            jnp.zeros((FEAT_WIDTH - 10, s_idx.shape[0]), jnp.float32),
-        ],
-        axis=0,
-    )
-
-    out = composite_pairs(
-        pair_feat, binning.block_meta, cfg
-    )  # [num_tiles, 8, P]: rows 0-2 rgb, 3 depth, 4 transmittance
+    if cfg.bwd_pairs:
+        # Fused gather+composite with the block-compacted backward: the
+        # backward kernel grid, the padded dfeat materialization AND the
+        # reduction sort all shrink to the forward-active block set
+        # (see _composite_gathered).
+        out = _composite_gathered(cfg, feat10, s_idx, binning.block_meta)
+    else:
+        pair_feat10 = gather_pair_features(
+            cfg.max_pairs, cfg.tile_rank_cap > 0, 0, feat10, s_idx,
+            binning.gauss_offsets,
+        )
+        pair_feat = jnp.concatenate(
+            [
+                pair_feat10,
+                jnp.zeros((FEAT_WIDTH - 10, s_idx.shape[0]), jnp.float32),
+            ],
+            axis=0,
+        )
+        out = composite_pairs(
+            pair_feat, binning.block_meta, cfg
+        )  # [num_tiles, 8, P]: rows 0-2 rgb, 3 depth, 4 transmittance
 
     # Tiles with no pairs own no block and are never written: mask them.
     occupied = (binning.tile_count > 0)[:, None, None]

@@ -169,6 +169,9 @@ def stack_view_projections(proj_b, cfg: RenderConfig):
         # row_capacity auto-scales with max_pairs when max_rows == 0; an
         # explicit per-view max_rows is shared across the batch like pairs.
         max_rows=B * cfg.max_rows,
+        # bwd_pairs is per-view, like max_pairs: the batch's active set is
+        # the union of the views' active sets (shared, like pairs).
+        bwd_pairs=B * cfg.bwd_pairs,
         view_tile_rows=cfg.tiles_y,
     )
     return stacked, bcfg

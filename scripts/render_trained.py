@@ -140,6 +140,9 @@ def main():
                    choices=("rect", "ellipse"),
                    help="tile culling granularity (ellipse: exact per-row "
                         "intervals, fewer pairs, identical images)")
+    p.add_argument("--cull_chunks", type=int, default=64,
+                   help="depth chunks of the pre-sort occlusion cull's rank
+                        bound (more = tighter bound, bigger count grids)")
     p.add_argument("--tile_rank_cap", type=int, default=0,
                    help="keep only the front-most K pairs per tile (trained "
                         "scenes: K=1024 keeps ~22%% of pairs at image error "
@@ -198,6 +201,7 @@ def main():
     cfg = RenderConfig(height=H, width=W, max_pairs=args.max_pairs,
                        backend=args.backend, cull_mode=args.cull_mode,
                        tile_rank_cap=args.tile_rank_cap,
+                       cull_chunks=args.cull_chunks,
                        transmittance_math=args.transmittance_math,
                        aa_mode=args.aa_mode,
                        background=parse_background(args.background))

@@ -33,6 +33,11 @@ def main():
                    help="where to write the warped scene "
                         "(default <output_dir>/scene)")
     p.add_argument("--n_views", type=int, default=16)
+    p.add_argument("--planes", type=int, default=1,
+                   help="number of stacked textured planes (1 = the "
+                        "legacy single-plane oracle; 2-4 add real "
+                        "occlusion boundaries + parallax between "
+                        "depth layers)")
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--iterations", type=int, default=2000)
@@ -70,16 +75,26 @@ def main():
 
     from gsplat_tpu import RenderConfig, TrainConfig
     from gsplat_tpu.data import GaussianDataset
-    from gsplat_tpu.data.photo_plane import load_photo, make_photo_plane_scene
+    from gsplat_tpu.data.photo_plane import (
+        load_photo,
+        make_photo_multiplane_scene,
+        make_photo_plane_scene,
+    )
     from gsplat_tpu.evaluation import evaluate_views
     from gsplat_tpu.train.fit import fit
 
     scene_dir = args.scene_dir or os.path.join(args.output_dir, "scene")
     photo = load_photo(args.image)
-    meta = make_photo_plane_scene(
-        scene_dir, photo=photo, n_views=args.n_views,
-        height=args.height, width=args.width,
-    )
+    if args.planes > 1:
+        meta = make_photo_multiplane_scene(
+            scene_dir, photo=photo, n_planes=args.planes,
+            n_views=args.n_views, height=args.height, width=args.width,
+        )
+    else:
+        meta = make_photo_plane_scene(
+            scene_dir, photo=photo, n_views=args.n_views,
+            height=args.height, width=args.width,
+        )
     log = (lambda s: None) if args.json else print
     log(f"scene: {meta['n_views']} warped views of a "
         f"{photo.shape[1]}x{photo.shape[0]} photo -> {scene_dir}")
@@ -136,6 +151,7 @@ def main():
     )
     out = {
         "metric": "photo_plane_holdout_psnr",
+        "planes": args.planes,
         "psnr": round(result["psnr"], 3),
         "ssim": round(result["ssim"], 4),
         "holdout_views": result["num_views"],
