@@ -29,8 +29,9 @@ So the pipeline is gather-free on the pair axis and sort-centric:
    INDEPENDENT rank-1 scatter + 1-D cumsum: a batched [3, cap+1]
    shared-index scatter measured 2.4x SLOWER than three pipelined 1-D
    scatters on v5e (12.9 vs 5.3 ms at bench shapes, round 4).
-4. Exact per-tile counts BEFORE the sort: signed footprint-rectangle
-   corners scattered into a (tiles_y+1, tiles_x+1) grid + 2D prefix sum.
+4. Exact per-tile counts BEFORE the sort: one MXU matmul of 0/1 row/col
+   interval indicators (outer-product decomposition of each footprint
+   rectangle — `_rect_cover_counts`; exact in bf16xbf16->f32).
 5. Block alignment comes from the SORT itself: explicit padding pairs
    (keyed to land right after each tile's real pairs) make every tile's
    run a multiple of ``cfg.pair_block``, so one stable sort emits the
@@ -101,18 +102,83 @@ class TileBinning(NamedTuple):
     trunc_demand: jnp.ndarray | None = None
 
 
+def depth_order(depth: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Global front-to-back order [N]; invalid gaussians sort last."""
+    key = jnp.where(valid, depth, jnp.inf)
+    return jnp.argsort(key).astype(jnp.int32)
+
+
 def depth_order_and_rank(depth: jnp.ndarray, valid: jnp.ndarray):
     """Global front-to-back order; invalid gaussians sort last.
 
     Returns (order [N] indices ascending by depth, rank [N] = inverse perm).
+    The rank is an N-sized unique-index scatter (the expensive scatter
+    class) — call :func:`depth_order` when only the order is needed (every
+    binning path: the expansion keys on depth SLOTS, never on rank).
     """
     n = depth.shape[0]
-    key = jnp.where(valid, depth, jnp.inf)
-    order = jnp.argsort(key)
+    order = depth_order(depth, valid)
     rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32)
     )
-    return order.astype(jnp.int32), rank
+    return order, rank
+
+
+def _rect_cover_counts(y0, y1, x0, x1, kept, tiles_y: int, tiles_x: int,
+                       chunks: int = 0):
+    """Tile cover counts of N axis-aligned tile rects — on the MXU.
+
+    counts[y, x] = |{i : kept_i and y0_i <= y < y1_i and x0_i <= x < x1_i}|
+    computed as one matmul of 0/1 interval indicators,
+    ``einsum('yn,nx->yx', Ry, Cx)`` — an outer-product-of-intervals
+    decomposition of each rect. Replaces the 4-corner signed scatter +
+    2D prefix sum: scatters are index-rate bound on v5e (~9 ns/index =
+    ~4.9 ms for the 4N = 524k corner indices at bench scale) while this
+    matmul is bandwidth-bound on the [TY, N] + [N, TX] indicators
+    (~50 MB ≈ 0.1 ms). EXACT: 0 and 1 are exact in bf16, the MXU
+    accumulates in f32, and every partial sum is an integer <= N < 2^24.
+
+    With ``chunks = C > 0`` returns [C, TY, TX] per-depth-chunk counts
+    (the occlusion cull's grids) via one BATCHED matmul over the depth
+    axis split into C contiguous chunks; chunk boundaries are padded with
+    zero rows, so ragged N is handled exactly.
+    """
+    n = y0.shape[0]
+    ty_i = jnp.arange(tiles_y, dtype=jnp.int32)
+    tx_i = jnp.arange(tiles_x, dtype=jnp.int32)
+    if not chunks:
+        ry = (
+            (y0[None, :] <= ty_i[:, None]) & (ty_i[:, None] < y1[None, :])
+            & kept[None, :]
+        ).astype(jnp.bfloat16)  # [TY, N]
+        cx = (
+            (x0[:, None] <= tx_i[None, :]) & (tx_i[None, :] < x1[:, None])
+        ).astype(jnp.bfloat16)  # [N, TX]
+        cnt = jnp.einsum(
+            "yn,nx->yx", ry, cx, preferred_element_type=jnp.float32
+        )
+        return cnt.astype(jnp.int32)
+    chunk = cdiv_i(n, chunks)
+    pad = chunks * chunk - n
+
+    def padded(a, fill):
+        return jnp.pad(a, (0, pad), constant_values=fill).reshape(
+            chunks, chunk
+        )
+
+    y0r = padded(y0, 0)[:, None, :]  # [C, 1, chunk]
+    y1r = padded(y1, 0)[:, None, :]
+    keptr = padded(kept, False)[:, None, :]
+    x0r = padded(x0, 0)[:, :, None]  # [C, chunk, 1]
+    x1r = padded(x1, 0)[:, :, None]
+    ty3 = ty_i[None, :, None]
+    tx3 = tx_i[None, None, :]
+    ry = ((y0r <= ty3) & (ty3 < y1r) & keptr).astype(jnp.bfloat16)
+    cx = ((x0r <= tx3) & (tx3 < x1r)).astype(jnp.bfloat16)
+    cnt = jnp.einsum(
+        "cyk,ckx->cyx", ry, cx, preferred_element_type=jnp.float32
+    )
+    return cnt.astype(jnp.int32)
 
 
 def _occlusion_cull(tile_min, n_u, n_v, counts, cfg: RenderConfig):
@@ -132,10 +198,11 @@ def _occlusion_cull(tile_min, n_u, n_v, counts, cfg: RenderConfig):
 
     Rank lower bound (conservative, gather-light):
       * split the depth order into `cfg.cull_chunks` chunks;
-      * per chunk, scatter signed footprint-rectangle corners into a
-        flat [chunks, tiles_y+1, tiles_x+1] grid (ONE 4N-index scatter,
-        the same corner trick as the exact tile counts) and build
-        cumulative-through-chunk 2D-prefix count grids cnt[c];
+      * per chunk, build the [chunks, tiles_y, tiles_x] footprint-count
+        grid with ONE batched 0/1-indicator matmul on the MXU
+        (:func:`_rect_cover_counts`; replaced the 4N-corner scatter, which
+        was index-rate bound at ~5 ms) and take the cumulative-through-
+        chunk sum cnt[c];
       * build corner-anchored min tables of cnt (sparse-table doubling:
         level l = min over the 2^l-square anchored at each tile); for
         gaussian g in chunk c the bound is ONE lookup of cnt[c-1] at g's
@@ -144,37 +211,25 @@ def _occlusion_cull(tile_min, n_u, n_v, counts, cfg: RenderConfig):
         min-over-rect of the number of strictly-earlier-chunk gaussians
         covering each tile.
 
-    Gaussians of chunk 0 are never culled. Cost: one 4N scatter +
-    ~1M-element elementwise grid/table work + ONE N-sized gather from a
-    [chunks, levels, tiles] table. No reference counterpart (the
-    reference composites every pair, render.py:325-410).
+    Gaussians of chunk 0 are never culled. Cost: one batched indicator
+    matmul + ~1M-element elementwise grid/table work + four N-sized
+    gathers from a [chunks, levels, tiles] table. No reference
+    counterpart (the reference composites every pair, render.py:325-410).
     """
     n = counts.shape[0]
     C = max(int(cfg.cull_chunks), 1)
     chunk = cdiv_i(n, C)
     TY, TX = cfg.tiles_y, cfg.tiles_x
-    Hh, W = TY + 1, TX + 1
     cap_t = cfg.rank_cap_blocks * cfg.pair_block
 
     kept = counts > 0
-    one = kept.astype(jnp.int32)
     x0 = tile_min[:, 0]
     y0 = tile_min[:, 1]
     x1 = x0 + n_u  # exclusive
     y1 = y0 + n_v
     cidx = jnp.arange(n, dtype=jnp.int32) // chunk
 
-    base = cidx * (Hh * W)
-    idx = jnp.concatenate(
-        [base + y0 * W + x0, base + y0 * W + x1,
-         base + y1 * W + x0, base + y1 * W + x1]
-    )
-    upd = jnp.concatenate([one, -one, -one, one])
-    g = jnp.zeros((C * Hh * W,), jnp.int32).at[idx].add(
-        upd, mode="drop"
-    ).reshape(C, Hh, W)
-    # Per-chunk 2D prefix, then cumulative over chunks.
-    g2 = jnp.cumsum(jnp.cumsum(g, axis=1), axis=2)[:, :TY, :TX]
+    g2 = _rect_cover_counts(y0, y1, x0, x1, kept, TY, TX, chunks=C)
     cnt = jnp.cumsum(g2, axis=0)  # [C, TY, TX] counts through chunk c
 
     # Corner-anchored min tables (sparse-table doubling): tab[l][y][x] =
@@ -257,7 +312,7 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     num_tiles = cfg.num_tiles
     cap = cfg.max_pairs
 
-    order, _ = depth_order_and_rank(proj.depth, proj.valid)
+    order = depth_order(proj.depth, proj.valid)
 
     # Footprint counts in DEPTH order so that capacity overflow drops the
     # farthest gaussians' pairs first. (N-sized gathers are cheap.)
@@ -281,6 +336,7 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     # sort, which is what lets the sort itself produce the aligned layout.
     full_cum = jnp.cumsum(counts, dtype=jnp.int32)
     total = full_cum[-1]  # true demand (reported; may exceed cap)
+    kept_pre = counts > 0  # pre-capacity-drop cover mask (true tile counts)
     counts = jnp.where(full_cum <= cap, counts, 0)
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
@@ -342,25 +398,31 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     slot = jnp.where(pair_ok, slot, -1)
 
     # --- exact per-tile counts BEFORE the sort ---
-    # Each kept gaussian covers an axis-aligned tile rectangle; scatter the
-    # four signed corners into a [tiles_y+1, tiles_x+1] grid and take the 2D
-    # inclusive prefix sum. Whole-gaussian overflow dropping (above) is what
-    # keeps this exact: partial footprints never occur.
+    # Each kept gaussian covers an axis-aligned tile rectangle; one MXU
+    # indicator matmul counts covers per tile (_rect_cover_counts — exact;
+    # replaced the index-rate-bound 4-corner scatter). Whole-gaussian
+    # overflow dropping (above) is what keeps this exact: partial
+    # footprints never occur.
     kept = counts > 0
-    one = jnp.where(kept, 1, 0).astype(jnp.int32)
     y0g = tile_min[:, 1]
     x0g = tile_min[:, 0]
     y1g = y0g + n_v  # exclusive
     x1g = x0g + n_u
-    # ONE scatter for all four signed corners: four separate .add calls
-    # form a strictly dependent chain (each reads the previous output);
-    # concatenated indices let XLA process them as a single pass.
-    grid2 = jnp.zeros((cfg.tiles_y + 1, cfg.tiles_x + 1), jnp.int32).at[
-        jnp.concatenate([y0g, y0g, y1g, y1g]),
-        jnp.concatenate([x0g, x1g, x0g, x1g]),
-    ].add(jnp.concatenate([one, -one, -one, one]), mode="drop")
-    cnt2d = jnp.cumsum(jnp.cumsum(grid2, axis=0), axis=1)
-    tile_count = cnt2d[: cfg.tiles_y, : cfg.tiles_x].reshape(num_tiles)
+    tile_count = _rect_cover_counts(
+        y0g, y1g, x0g, x1g, kept, cfg.tiles_y, cfg.tiles_x
+    ).reshape(num_tiles)
+    # TRUE per-tile counts, independent of the pair-capacity drop: the
+    # demand numbers a probe reports (pair_demand -> trunc_demand /
+    # num_pairs_kept) must not be silently clipped by the PROBE config's
+    # own max_pairs — a small probe capacity used to under-report the
+    # truncation demand ~5x at close-in orbit poses, silently
+    # overflow-dropping most blocks in the sized render (round-5 ladder).
+    if cfg.tile_rank_cap:
+        tile_count_true = _rect_cover_counts(
+            y0g, y1g, x0g, x1g, kept_pre, cfg.tiles_y, cfg.tiles_x
+        ).reshape(num_tiles)
+    else:
+        tile_count_true = tile_count
 
     return {
         "n": n,
@@ -370,6 +432,7 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
         "pair_ok": pair_ok,
         "offsets": offsets,
         "tile_count": tile_count,
+        "tile_count_true": tile_count_true,
         "total": total,
         "rows_total": jnp.int32(0),  # rect mode has no row stage
     }
@@ -420,7 +483,7 @@ def _expand_pairs_ellipse(proj: ProjectedGaussians, cfg: RenderConfig):
     cap_r = cfg.row_capacity
     T = cfg.tile
 
-    order, _ = depth_order_and_rank(proj.depth, proj.valid)
+    order = depth_order(proj.depth, proj.valid)
 
     tile_min = proj.tile_min[order]
     tile_max = proj.tile_max[order]
@@ -581,6 +644,11 @@ def _expand_pairs_ellipse(proj: ProjectedGaussians, cfg: RenderConfig):
         "pair_ok": pair_ok,
         "offsets": offsets,
         "tile_count": tile_count,
+        # Ellipse tile counts come from the materialized row stage, so a
+        # row/pair-capacity-limited probe may still under-report the
+        # truncation demand (ellipse mode is frozen as a capacity-saver;
+        # rect mode reports capacity-independent demand).
+        "tile_count_true": tile_count,
         "total": total,
         "rows_total": rows_total,
     }
@@ -729,8 +797,14 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> TileBinning:
             nb_used[:, None], pair_slot.reshape(num_blocks, G)[src_block], -1
         ).reshape(-1)
         cap_t = Kb * G
-        kept_pairs = jnp.sum(jnp.minimum(tile_count, cap_t))
-        trunc_demand = new_start_b[num_tiles] * G  # block-aligned slots
+        # Reported demand uses the TRUE (capacity-independent) tile counts
+        # so probes can't under-report when their own max_pairs clipped the
+        # materialized layout (the layout itself stays materialized).
+        tile_count_true = ex["tile_count_true"]
+        kept_pairs = jnp.sum(jnp.minimum(tile_count_true, cap_t))
+        trunc_demand = jnp.sum(
+            jnp.minimum((tile_count_true + G - 1) // G, Kb)
+        ) * G  # block-aligned slots
         tile_start = jnp.minimum(new_start_b[:num_tiles] * G,
                                  cfg.trunc_padded_pairs - 1)
         # Static-capacity overflow drops trailing blocks: a tile whose

@@ -35,6 +35,7 @@ from ..config import RenderConfig
 from .binning import (
     TileBinning,
     bin_gaussians,
+    depth_order,
     depth_order_and_rank,
 )
 from .projection import ProjectedGaussians
@@ -619,7 +620,7 @@ def rasterize_dense(
     Mirrors the reference math with NO tiling; memory O(N * row_chunk * W).
     """
     dtype = colors.dtype
-    order, _ = depth_order_and_rank(proj.depth, proj.valid)
+    order = depth_order(proj.depth, proj.valid)
     ok = proj.valid[order]
     # Zero every field of invalid slots — culled gaussians may carry NaNs.
     u = jnp.where(ok, proj.uv[order, 0], 0.0)

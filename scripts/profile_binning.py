@@ -190,6 +190,49 @@ def main():
         feat10, binning.pair_slot, iters=args.iters,
     )
 
+    # gather split A/B: one [16, N] multi-row gather vs independent
+    # narrower gathers (the scatter-trio finding in reverse: does XLA
+    # pipeline independent 1-D gathers better than one batched gather?)
+    tp = binning.pair_slot.shape[0]
+    idx = jnp.clip(binning.pair_slot, 0, n - 1)
+    tab16 = jnp.asarray(rng.normal(size=(16, n)).astype(np.float32))
+    bench("g16x1", lambda t, i: t[:, i], tab16, idx, iters=args.iters)
+    bench("g4x4", lambda t, i: jnp.concatenate(
+        [t[4 * k:4 * k + 4, i] for k in range(4)]), tab16, idx,
+        iters=args.iters)
+    bench("g1x16", lambda t, i: jnp.stack(
+        [t[k, i] for k in range(16)]), tab16, idx, iters=args.iters)
+
+    # scatter trio (the REAL expansion scatters): three rank-1
+    # scatter-adds sharing one index vector (vs the batched scatter3).
+    v3 = [jnp.asarray(rng.integers(0, 5, n + 1, dtype=np.int32))
+          for _ in range(3)]
+    bench(
+        "scat3x1",
+        lambda o, a, b, c: jnp.stack([
+            jnp.zeros((cap + 1,), jnp.int32).at[o].add(a, mode="drop"),
+            jnp.zeros((cap + 1,), jnp.int32).at[o].add(b, mode="drop"),
+            jnp.zeros((cap + 1,), jnp.int32).at[o].add(c, mode="drop"),
+        ]),
+        offs, *v3, iters=args.iters,
+    )
+
+    # isolated occlusion cull at bench geometry (cfg.cull_chunks).
+    order = jax.jit(lambda pr: B.depth_order(pr.depth, pr.valid))(proj)
+    tmin = proj.tile_min[order]
+    tmax = proj.tile_max[order]
+    n_u = jnp.maximum(tmax[:, 0] - tmin[:, 0] + 1, 0)
+    n_v = jnp.maximum(tmax[:, 1] - tmin[:, 1] + 1, 0)
+    cnts = (n_u * n_v).astype(jnp.int32)
+    bench("cull", lambda *a: B._occlusion_cull(*a, tcfg), tmin, n_u, n_v,
+          cnts, iters=args.iters)
+
+    # cover-count matmul (replaced the 4-corner scatter).
+    bench("cover-mm", lambda y0, y1, x0, x1, k: B._rect_cover_counts(
+        y0, y1, x0, x1, k, cfg.tiles_y, cfg.tiles_x),
+        tmin[:, 1], tmin[:, 1] + n_v, tmin[:, 0], tmin[:, 0] + n_u,
+        cnts > 0, iters=args.iters)
+
 
 if __name__ == "__main__":
     main()

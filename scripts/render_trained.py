@@ -141,8 +141,8 @@ def main():
                    help="tile culling granularity (ellipse: exact per-row "
                         "intervals, fewer pairs, identical images)")
     p.add_argument("--cull_chunks", type=int, default=64,
-                   help="depth chunks of the pre-sort occlusion cull's rank
-                        bound (more = tighter bound, bigger count grids)")
+                   help="depth chunks of the pre-sort occlusion cull's rank "
+                        "bound (more = tighter bound, bigger count grids)")
     p.add_argument("--tile_rank_cap", type=int, default=0,
                    help="keep only the front-most K pairs per tile (trained "
                         "scenes: K=1024 keeps ~22%% of pairs at image error "

@@ -73,13 +73,41 @@ def main():
     exact_cap = args.exact_pairs or rup(max(demands) * 1.2)
     print(f"exact capacity {exact_cap}", flush=True)
 
-    ecfg = base.with_(max_pairs=exact_cap)
-    efwd = jax.jit(lambda p, a, c: render_from_params(
-        p, c, fx, fy, cx, cy, ecfg, alive=a)[0])
+    # The exact (full-integrity) render at the 1.0x orbit needs ~38-45M
+    # padded pairs — more block-meta than the 1 MB scalar-prefetch SMEM
+    # holds. Render it in horizontal BANDS via principal-point shift
+    # (cy - r0): each band is an exact crop with its own (much smaller)
+    # pair demand. Band count auto-doubles until the worst band's
+    # block-meta fits comfortably in SMEM.
+    bands = 2
+    while True:
+        bh = H // bands
+        bcfg0 = base.with_(height=bh)
+        bprobe = jax.jit(lambda p, a, c, by: pair_demand(
+            p, c, fx, fy, cx, cy - by, bcfg0, alive=a))
+        bdemand = max(
+            int(bprobe(pool.params, pool.alive, jnp.asarray(c2w),
+                       jnp.float32(b * bh))[0])
+            for c2w in traj for b in range(bands)
+        )
+        band_cap = rup(bdemand * 1.2)
+        if (band_cap // 128) * 4 <= 700_000 or bands >= 16:
+            break
+        bands *= 2
+    print(f"exact render: {bands} bands, band capacity {band_cap}",
+          flush=True)
+    ecfg = base.with_(height=H // bands, max_pairs=band_cap)
+    efwd = jax.jit(lambda p, a, c, by: render_from_params(
+        p, c, fx, fy, cx, cy - by, ecfg, alive=a)[0])
 
-    exact_imgs = [np.asarray(efwd(pool.params, pool.alive,
-                                  jnp.asarray(c2w)))
-                  for c2w in traj]
+    def exact_render(c2w):
+        bh = H // bands
+        return np.concatenate(
+            [np.asarray(efwd(pool.params, pool.alive, jnp.asarray(c2w),
+                             jnp.float32(b * bh)))
+             for b in range(bands)], axis=0)
+
+    exact_imgs = [exact_render(c2w) for c2w in traj]
 
     # One config per K, capacity-sized to the max demand over the poses,
     # so each K costs ONE compile instead of one per pose.

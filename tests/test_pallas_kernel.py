@@ -234,6 +234,23 @@ def test_rank_truncation_static_capacity_overflow_reported():
     assert bool(jnp.isfinite(img).all())
 
 
+def test_trunc_demand_reporting_is_capacity_independent():
+    """trunc_demand / num_pairs_kept must report the TRUE truncation demand
+    even when the probing config's own max_pairs clips the materialized
+    layout — a small-capacity pair_demand probe used to under-report ~5x,
+    silently overflow-dropping most blocks in the demand-sized render
+    (round-5 default-orbit ladder)."""
+    params = {k: jnp.asarray(v) for k, v in _dense_scene().items()}
+    c2w = jnp.eye(4)
+    big = CFG.with_(max_pairs=2**15, max_per_tile=4096, tile_rank_cap=32)
+    small = big.with_(max_pairs=2**10)  # clips most pairs
+    _, aux_big = _render(params, c2w, "pallas", big)
+    _, aux_small = _render(params, c2w, "pallas", small)
+    assert int(aux_big.num_pairs) > 2**10  # the probe really clipped
+    assert int(aux_small.trunc_demand) == int(aux_big.trunc_demand)
+    assert int(aux_small.num_pairs_kept) == int(aux_big.num_pairs_kept)
+
+
 def test_rank_truncation_off_is_exact():
     """tile_rank_cap larger than every tile's demand must be bit-identical
     to the untruncated render (the compaction is a pure relayout then)."""
