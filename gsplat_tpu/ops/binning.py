@@ -242,12 +242,21 @@ def _occlusion_cull(tile_min, n_u, n_v, counts, cfg: RenderConfig):
     # min and culled nothing). Squares reaching past the grid edge are
     # padded with a huge sentinel, which can only RAISE nothing (min with
     # BIG is identity) — still a valid lower bound over the rect.
-    BIG = 2**30
+    # The cull only ever compares lb >= cap_t, so counts can be CLAMPED at
+    # cap_t before the min tables: clamp commutes with min, and it lets the
+    # table live in int16 (cap_t = rank_cap_blocks * pair_block is far
+    # below 2^15 for practical K) — half the lookup working set, so the
+    # four N-sized corner gathers read a cache-resident table. The clamp
+    # value doubles as the pad sentinel (min with cap_t never lowers a
+    # clamped value below a true bound).
+    tab_dtype = jnp.int16 if cap_t < 2**15 else jnp.int32
+    cnt_c = jnp.minimum(cnt, cap_t).astype(tab_dtype)
+    BIG = jnp.asarray(cap_t if cap_t < 2**15 else 2**30, tab_dtype)
     L = 1
     while (1 << (L - 1)) < max(TY, TX):
         L += 1  # 2^(L-1) >= any possible span -> every query level exists
-    tabs = [cnt]
-    cur = cnt
+    tabs = [cnt_c]
+    cur = cnt_c
     for l in range(1, L):
         sh = 1 << (l - 1)
         cur = jnp.minimum(

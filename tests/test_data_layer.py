@@ -632,8 +632,12 @@ def test_photo_multiplane_occlusion_and_parallax():
                                H, W)
     # Center: front (red) plane occludes the back (green).
     np.testing.assert_allclose(img[H // 2, W // 2], [1, 0, 0], atol=1e-6)
-    # Periphery: back plane visible around the small front plane.
-    np.testing.assert_allclose(img[2, 2], [0, 1, 0], atol=1e-6)
+    # Periphery: back plane visible around the small front plane. Pixel
+    # (v=4, u=10): at z=3 the ray is ~1.1 world units off-axis (outside the
+    # 0.3-half-extent front plane) but at z=5 only ~1.8 (inside the
+    # 2.0-half-extent back plane). (The image corner misses BOTH planes —
+    # the back plane's x-extent ends ~2.4 units before the corner ray.)
+    np.testing.assert_allclose(img[4, 10], [0, 1, 0], atol=1e-6)
     # Order of the plane list must not matter (depth sorts, not order).
     img_r = warp_multiplane_view([back, front], planes[::-1], c2w, f, f,
                                  cx, cy, H, W)
