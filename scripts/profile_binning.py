@@ -197,11 +197,30 @@ def main():
     idx = jnp.clip(binning.pair_slot, 0, n - 1)
     tab16 = jnp.asarray(rng.normal(size=(16, n)).astype(np.float32))
     bench("g16x1", lambda t, i: t[:, i], tab16, idx, iters=args.iters)
+    bench("g8x2", lambda t, i: jnp.concatenate(
+        [t[2 * k:2 * k + 2, i] for k in range(8)]), tab16, idx,
+        iters=args.iters)
     bench("g4x4", lambda t, i: jnp.concatenate(
         [t[4 * k:4 * k + 4, i] for k in range(4)]), tab16, idx,
         iters=args.iters)
     bench("g1x16", lambda t, i: jnp.stack(
         [t[k, i] for k in range(16)]), tab16, idx, iters=args.iters)
+
+    # cumsum variants at [3, cap+1]: flat (current) vs two-level
+    # (within-4096-block minor-axis scan + block-offset broadcast).
+    acc3 = jnp.asarray(rng.integers(0, 3, (3, cap + 1), dtype=np.int32))
+
+    def cs2(a):
+        K = 4096
+        pad = (-a.shape[1]) % K
+        ap = jnp.pad(a, ((0, 0), (0, pad))).reshape(3, -1, K)
+        within = jnp.cumsum(ap, axis=2)
+        offs_b = jnp.cumsum(within[:, :, -1], axis=1)
+        offs_b = jnp.concatenate(
+            [jnp.zeros((3, 1), a.dtype), offs_b[:, :-1]], axis=1)
+        return (within + offs_b[:, :, None]).reshape(3, -1)[:, :a.shape[1]]
+
+    bench("cs-2lvl", cs2, acc3, iters=args.iters)
 
     # scatter trio (the REAL expansion scatters): three rank-1
     # scatter-adds sharing one index vector (vs the batched scatter3).
