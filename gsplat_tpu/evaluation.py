@@ -29,6 +29,7 @@ def evaluate_views(
     alive=None,
     render_batch: int = 1,
     mesh=None,
+    auto_size: bool = True,
 ) -> dict:
     """Render each view and compare to ground truth.
 
@@ -42,11 +43,47 @@ def evaluate_views(
             views over 'data' and splits frames into tile bands over 'tile'
             (parallel.make_sharded_batch_render). render_batch must be a
             multiple of the mesh's data size (defaults to it when 1).
+        auto_size: probe the true pair demand of every view first (cheap
+            binning-only graphs) and grow cfg.max_pairs / trunc_pairs to
+            fit — an under-capacity EVALUATION silently drops the farthest
+            gaussians and reports a collapsed score (a trained pool whose
+            fit() auto-grew past the caller's cfg scored 11 dB instead of
+            its true 22 dB in round 5). The demand and the capacity used
+            are reported in the result.
 
     Returns:
-        dict with per-view and mean psnr/ssim/l1.
+        dict with per-view and mean psnr/ssim/l1 (+ eval capacity info).
     """
     imgs = []
+    max_demand = 0
+    if auto_size:
+        from .render import pair_demand
+
+        @jax.jit
+        def probe(c2w, fx, fy, cx, cy):
+            d = pair_demand(params, c2w, fx, fy, cx, cy, cfg, alive=alive)
+            return d[0], d[2]
+
+        max_trunc = 0
+        for v in views:
+            d0, d2 = probe(
+                jnp.asarray(v["c2w"]), jnp.float32(v["fx"]),
+                jnp.float32(v["fy"]), jnp.float32(v["cx"]),
+                jnp.float32(v["cy"]),
+            )
+            max_demand = max(max_demand, int(d0))
+            max_trunc = max(max_trunc, int(d2))
+
+        def _rup(x):
+            return -(-int(x * 1.1) // 4096) * 4096
+
+        upd = {}
+        if max_demand > cfg.max_pairs:
+            upd["max_pairs"] = _rup(max_demand)
+        if cfg.tile_rank_cap and max_trunc > cfg.trunc_pairs:
+            upd["trunc_pairs"] = _rup(max_trunc)
+        if upd:
+            cfg = cfg.with_(**upd)
     if mesh is not None and render_batch == 1:
         render_batch = mesh.shape["data"]
     if render_batch > 1:
@@ -120,4 +157,6 @@ def evaluate_views(
         "l1": float(np.mean([v["l1"] for v in per_view])),
         "per_view": per_view,
         "num_views": len(per_view),
+        "max_pair_demand": max_demand,
+        "eval_max_pairs": cfg.max_pairs,
     }

@@ -160,6 +160,11 @@ def main():
         "gaussians": int(np.asarray(state.pool.alive).sum()),
         "train_seconds": round(train_s, 1),
         "final_loss": round(report.final_loss, 5),
+        # Eval capacity audit (evaluate_views auto-sizes from probed
+        # demand; a stale post-growth cfg used to starve the eval).
+        "eval_max_pair_demand": result.get("max_pair_demand"),
+        "eval_max_pairs": result.get("eval_max_pairs"),
+        "per_view_psnr": [round(v["psnr"], 2) for v in result["per_view"]],
     }
     print(json.dumps(out))
 

@@ -330,6 +330,21 @@ def test_evaluate_views_render_batch_matches_per_view():
         assert a["psnr"] == pytest.approx(b["psnr"], abs=1e-3)
         assert a["l1"] == pytest.approx(b["l1"], abs=1e-6)
 
+    # Demand auto-sizing: a starved max_pairs must be grown, reproducing
+    # the adequately-sized metrics (round 5: a stale post-fit() eval cfg
+    # silently dropped the farthest gaussians and reported 11 dB for a
+    # 22 dB pool).
+    r3 = evaluate_views(params, views, cfg.with_(max_pairs=64))
+    assert r3["max_pair_demand"] > 64
+    assert r3["eval_max_pairs"] >= r3["max_pair_demand"]
+    for a, b in zip(r1["per_view"], r3["per_view"]):
+        assert a["psnr"] == pytest.approx(b["psnr"], abs=1e-3)
+    r4 = evaluate_views(params, views, cfg.with_(max_pairs=64),
+                        auto_size=False)
+    assert r4["per_view"][0]["psnr"] != pytest.approx(
+        r1["per_view"][0]["psnr"], abs=1e-3
+    ), "starved eval should differ when auto_size is off"
+
 
 def test_memory_estimates_scale_sanely():
     from gsplat_tpu import RenderConfig, TrainConfig
