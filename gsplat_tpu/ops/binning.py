@@ -138,6 +138,10 @@ def _rect_cover_counts(y0, y1, x0, x1, kept, tiles_y: int, tiles_x: int,
     (~50 MB ≈ 0.1 ms). EXACT: 0 and 1 are exact in bf16, the MXU
     accumulates in f32, and every partial sum is an integer <= N < 2^24.
 
+    ``kept`` may be [K, N] (K stacked masks sharing one column-indicator
+    operand -> [K, TY, TX], one batched matmul — the truncation path
+    needs both post- and pre-capacity-drop counts).
+
     With ``chunks = C > 0`` returns [C, TY, TX] per-depth-chunk counts
     (the occlusion cull's grids) via one BATCHED matmul over the depth
     axis split into C contiguous chunks; chunk boundaries are padded with
@@ -147,6 +151,23 @@ def _rect_cover_counts(y0, y1, x0, x1, kept, tiles_y: int, tiles_x: int,
     ty_i = jnp.arange(tiles_y, dtype=jnp.int32)
     tx_i = jnp.arange(tiles_x, dtype=jnp.int32)
     if not chunks:
+        if kept.ndim == 2:
+            # K stacked kept-masks share one column-indicator operand:
+            # returns [K, TY, TX] in a single batched matmul (the
+            # truncation path needs post-drop AND pre-drop counts).
+            ry = (
+                (y0[None, None, :] <= ty_i[None, :, None])
+                & (ty_i[None, :, None] < y1[None, None, :])
+                & kept[:, None, :]
+            ).astype(jnp.bfloat16)  # [K, TY, N]
+            cx = (
+                (x0[:, None] <= tx_i[None, :])
+                & (tx_i[None, :] < x1[:, None])
+            ).astype(jnp.bfloat16)  # [N, TX]
+            cnt = jnp.einsum(
+                "kyn,nx->kyx", ry, cx, preferred_element_type=jnp.float32
+            )
+            return cnt.astype(jnp.int32)
         ry = (
             (y0[None, :] <= ty_i[:, None]) & (ty_i[:, None] < y1[None, :])
             & kept[None, :]
@@ -307,6 +328,26 @@ def cdiv_i(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _cumsum_2level(a: jnp.ndarray, block: int = 4096) -> jnp.ndarray:
+    """Exact two-level inclusive cumsum along the last axis.
+
+    Within-4096-block minor-axis scan + a tiny block-total cumsum +
+    broadcast add — bit-identical to ``jnp.cumsum`` for integer inputs
+    (addition of int32 is associative), measured 3.64 vs 4.51 ms on the
+    [3, 4.19M] int32 expansion cumsum (v5e, profile_binning cs-2lvl,
+    round 5). Zero-padding the tail adds zeros that never change sums.
+    """
+    n = a.shape[-1]
+    pad = (-n) % block
+    ap = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    ap = ap.reshape(a.shape[:-1] + (-1, block))
+    within = jnp.cumsum(ap, axis=-1)
+    totals = within[..., -1]
+    offs = jnp.cumsum(totals, axis=-1) - totals  # exclusive block offsets
+    out = within + offs[..., None]
+    return out.reshape(a.shape[:-1] + (-1,))[..., :n]
+
+
 def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     """Shared pair expansion: depth order, per-pair (tile, slot), tile counts.
 
@@ -388,8 +429,9 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     # cumsum is pass-count bound on TPU, and one 3-row sweep costs 2.7 ms
     # where three 1-D sweeps cost 3 x 1.7 (profile_binning, round 5) —
     # the mirror image of the scatter finding above (scatters want to be
-    # rank-1, cumsums want to be batched).
-    cums = jnp.cumsum(jnp.stack([acc0, acc1, acc2]), axis=1)
+    # rank-1, cumsums want to be batched). Two-level form: another -20%
+    # (profile_binning cs-2lvl).
+    cums = _cumsum_2level(jnp.stack([acc0, acc1, acc2]))
     slot = cums[0, :cap] - 1  # searchsorted(offsets, p, 'right') - 1
     packed_p = cums[1, :cap]
     start_p = cums[2, :cap]
@@ -417,20 +459,24 @@ def _expand_pairs(proj: ProjectedGaussians, cfg: RenderConfig):
     x0g = tile_min[:, 0]
     y1g = y0g + n_v  # exclusive
     x1g = x0g + n_u
-    tile_count = _rect_cover_counts(
-        y0g, y1g, x0g, x1g, kept, cfg.tiles_y, cfg.tiles_x
-    ).reshape(num_tiles)
     # TRUE per-tile counts, independent of the pair-capacity drop: the
     # demand numbers a probe reports (pair_demand -> trunc_demand /
     # num_pairs_kept) must not be silently clipped by the PROBE config's
     # own max_pairs — a small probe capacity used to under-report the
     # truncation demand ~5x at close-in orbit poses, silently
     # overflow-dropping most blocks in the sized render (round-5 ladder).
+    # Both counts come from ONE batched matmul (stacked kept-masks).
     if cfg.tile_rank_cap:
-        tile_count_true = _rect_cover_counts(
-            y0g, y1g, x0g, x1g, kept_pre, cfg.tiles_y, cfg.tiles_x
-        ).reshape(num_tiles)
+        both = _rect_cover_counts(
+            y0g, y1g, x0g, x1g, jnp.stack([kept, kept_pre]),
+            cfg.tiles_y, cfg.tiles_x,
+        ).reshape(2, num_tiles)
+        tile_count = both[0]
+        tile_count_true = both[1]
     else:
+        tile_count = _rect_cover_counts(
+            y0g, y1g, x0g, x1g, kept, cfg.tiles_y, cfg.tiles_x
+        ).reshape(num_tiles)
         tile_count_true = tile_count
 
     return {

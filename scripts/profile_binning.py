@@ -252,6 +252,21 @@ def main():
         tmin[:, 1], tmin[:, 1] + n_v, tmin[:, 0], tmin[:, 0] + n_u,
         cnts > 0, iters=args.iters)
 
+    # int8 x int8 -> int32 MXU variant of the cover-count matmul.
+    def cover_i8(y0, y1, x0, x1, k):
+        ty_i = jnp.arange(cfg.tiles_y, dtype=jnp.int32)
+        tx_i = jnp.arange(cfg.tiles_x, dtype=jnp.int32)
+        ry = ((y0[None, :] <= ty_i[:, None]) & (ty_i[:, None] < y1[None, :])
+              & k[None, :]).astype(jnp.int8)
+        cx = ((x0[:, None] <= tx_i[None, :])
+              & (tx_i[None, :] < x1[:, None])).astype(jnp.int8)
+        return jnp.einsum("yn,nx->yx", ry, cx,
+                          preferred_element_type=jnp.int32)
+
+    bench("cover-i8", cover_i8,
+          tmin[:, 1], tmin[:, 1] + n_v, tmin[:, 0], tmin[:, 0] + n_u,
+          cnts > 0, iters=args.iters)
+
 
 if __name__ == "__main__":
     main()
