@@ -166,6 +166,8 @@ def main():
         "gaussians": int(np.asarray(state.pool.alive).sum()),
         "train_seconds": round(train_s, 1),
         "final_loss": round(report.final_loss, 5),
+        "adc_mode": args.adc_mode,
+        "n_views": args.n_views,
         # Eval capacity audit (evaluate_views auto-sizes from probed
         # demand; a stale post-growth cfg used to starve the eval).
         "eval_max_pair_demand": result.get("max_pair_demand"),
