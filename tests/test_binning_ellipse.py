@@ -166,3 +166,20 @@ def test_ellipse_empty_scene():
     )
     assert float(jnp.max(jnp.abs(img))) == 0.0
     assert int(aux.num_pairs) == 0
+
+
+@pytest.mark.parametrize("n", [1, 5, 4095, 4096, 4097, 10000])
+def test_cumsum_2level_matches_jnp(n):
+    """_cumsum_2level must be bit-identical to jnp.cumsum for int32
+    (it is the measured-faster form of the expansion cumsum)."""
+    from gsplat_tpu.ops.binning import _cumsum_2level
+
+    rng = np.random.default_rng(n)
+    a = jnp.asarray(rng.integers(-5, 9, (3, n), dtype=np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(_cumsum_2level(a)), np.asarray(jnp.cumsum(a, axis=1))
+    )
+    a1 = a[0]
+    np.testing.assert_array_equal(
+        np.asarray(_cumsum_2level(a1)), np.asarray(jnp.cumsum(a1))
+    )
