@@ -265,7 +265,10 @@ def bench_checkpoint(path, height, width, iters, ellipse_ab=False,
     t0 = time.perf_counter()
     for _ in range(iters):
         img, aux = fwd(pool.params, pool.alive)
-    img.block_until_ready()
+    # Host fetch, not block_until_ready: axon's block_until_ready can
+    # NO-OP on re-dispatched executables (commit 839d3f0 — it once read
+    # 23k "FPS" here), and a scalar device_get is the only reliable sync.
+    float(jnp.ravel(img)[0])
     dt = (time.perf_counter() - t0) / iters
     out = {
         "fps_trained_ckpt": round(1.0 / dt, 3),
@@ -339,7 +342,7 @@ def bench_checkpoint(path, height, width, iters, ellipse_ab=False,
             t0 = time.perf_counter()
             for _ in range(iters):
                 eimg, eaux = efwd(pool.params, pool.alive)
-            eimg.block_until_ready()
+            float(jnp.ravel(eimg)[0])  # host fetch: reliable axon sync
             edt = (time.perf_counter() - t0) / iters
             out.update({
                 "fps_trained_ckpt_ellipse": round(1.0 / edt, 3),
@@ -386,7 +389,7 @@ def bench_checkpoint(path, height, width, iters, ellipse_ab=False,
         t0 = time.perf_counter()
         for _ in range(iters):
             timg, taux = tfwd(pool.params, pool.alive)
-        timg.block_until_ready()
+        float(jnp.ravel(timg)[0])  # host fetch: reliable axon sync
         tdt = (time.perf_counter() - t0) / iters
         out.update({
             "fps_trained_ckpt_trunc": round(1.0 / tdt, 3),
@@ -420,7 +423,7 @@ def bench_checkpoint(path, height, width, iters, ellipse_ab=False,
         t0 = time.perf_counter()
         for _ in range(iters):
             simg, saux = sfwd(pool.params, pool.alive)
-        simg.block_until_ready()
+        float(jnp.ravel(simg)[0])  # host fetch: reliable axon sync
         sdt = (time.perf_counter() - t0) / iters
         out.update({
             "fps_trained_ckpt_sized": round(1.0 / sdt, 3),
@@ -614,7 +617,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.iters):
         img, aux = fwd(params)
-    img.block_until_ready()
+    float(jnp.ravel(img)[0])  # host fetch: reliable axon sync
     dt_fwd = (time.perf_counter() - t0) / args.iters
     fps = 1.0 / dt_fwd
 
@@ -640,7 +643,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(max(args.iters // 2, 1)):
             g = grad_fn(params)
-        jax.block_until_ready(g)
+        float(jnp.ravel(jax.tree.leaves(g)[0])[0])  # host-fetch sync
         dt_step = (time.perf_counter() - t0) / max(args.iters // 2, 1)
         extras["fwd_bwd_fps"] = 1.0 / dt_step
         extras["rays_per_s_fwd_bwd"] = args.height * args.width / dt_step
@@ -660,7 +663,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.iters):
         img540 = fwd540(params)
-    img540.block_until_ready()
+    float(jnp.ravel(img540)[0])  # host fetch: reliable axon sync
     extras["fps_960x540"] = round(args.iters / (time.perf_counter() - t0), 3)
 
     import os
