@@ -196,15 +196,10 @@ def main():
     tp = binning.pair_slot.shape[0]
     idx = jnp.clip(binning.pair_slot, 0, n - 1)
     tab16 = jnp.asarray(rng.normal(size=(16, n)).astype(np.float32))
+    # Gather splitting measured CATASTROPHIC (round 5): 8x[2,N] gathers
+    # 19,923 ms vs 4.08 ms for the one [16,N] gather — keep only the
+    # canonical form here (NEXT.md 38).
     bench("g16x1", lambda t, i: t[:, i], tab16, idx, iters=args.iters)
-    bench("g8x2", lambda t, i: jnp.concatenate(
-        [t[2 * k:2 * k + 2, i] for k in range(8)]), tab16, idx,
-        iters=args.iters)
-    bench("g4x4", lambda t, i: jnp.concatenate(
-        [t[4 * k:4 * k + 4, i] for k in range(4)]), tab16, idx,
-        iters=args.iters)
-    bench("g1x16", lambda t, i: jnp.stack(
-        [t[k, i] for k in range(16)]), tab16, idx, iters=args.iters)
 
     # cumsum variants at [3, cap+1]: flat (current) vs two-level
     # (within-4096-block minor-axis scan + block-offset broadcast).
