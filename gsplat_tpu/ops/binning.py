@@ -31,7 +31,7 @@ So the pipeline is gather-free on the pair axis and sort-centric:
    scatters on v5e (12.9 vs 5.3 ms at bench shapes, round 4).
 4. Exact per-tile counts BEFORE the sort: one MXU matmul of 0/1 row/col
    interval indicators (outer-product decomposition of each footprint
-   rectangle — `_rect_cover_counts`; exact in bf16xbf16->f32).
+   rectangle — `_rect_cover_counts`; exact on the int8xint8->int32 path).
 5. Block alignment comes from the SORT itself: explicit padding pairs
    (keyed to land right after each tile's real pairs) make every tile's
    run a multiple of ``cfg.pair_block``, so one stable sort emits the
@@ -134,9 +134,9 @@ def _rect_cover_counts(y0, y1, x0, x1, kept, tiles_y: int, tiles_x: int,
     decomposition of each rect. Replaces the 4-corner signed scatter +
     2D prefix sum: scatters are index-rate bound on v5e (~9 ns/index =
     ~4.9 ms for the 4N = 524k corner indices at bench scale) while this
-    matmul is bandwidth-bound on the [TY, N] + [N, TX] indicators
-    (~50 MB ≈ 0.1 ms). EXACT: 0 and 1 are exact in bf16, the MXU
-    accumulates in f32, and every partial sum is an integer <= N < 2^24.
+    matmul is bandwidth-bound on the [TY, N] + [N, TX] indicators.
+    EXACT: int8 0/1 products accumulate on the MXU's int32 path (counts
+    exact to 2^31; measured 1.96 vs 2.34 ms for the bf16->f32 form).
 
     ``kept`` may be [K, N] (K stacked masks sharing one column-indicator
     operand -> [K, TY, TX], one batched matmul — the truncation path
@@ -159,26 +159,24 @@ def _rect_cover_counts(y0, y1, x0, x1, kept, tiles_y: int, tiles_x: int,
                 (y0[None, None, :] <= ty_i[None, :, None])
                 & (ty_i[None, :, None] < y1[None, None, :])
                 & kept[:, None, :]
-            ).astype(jnp.bfloat16)  # [K, TY, N]
+            ).astype(jnp.int8)  # [K, TY, N]
             cx = (
                 (x0[:, None] <= tx_i[None, :])
                 & (tx_i[None, :] < x1[:, None])
-            ).astype(jnp.bfloat16)  # [N, TX]
-            cnt = jnp.einsum(
-                "kyn,nx->kyx", ry, cx, preferred_element_type=jnp.float32
+            ).astype(jnp.int8)  # [N, TX]
+            return jnp.einsum(
+                "kyn,nx->kyx", ry, cx, preferred_element_type=jnp.int32
             )
-            return cnt.astype(jnp.int32)
         ry = (
             (y0[None, :] <= ty_i[:, None]) & (ty_i[:, None] < y1[None, :])
             & kept[None, :]
-        ).astype(jnp.bfloat16)  # [TY, N]
+        ).astype(jnp.int8)  # [TY, N]
         cx = (
             (x0[:, None] <= tx_i[None, :]) & (tx_i[None, :] < x1[:, None])
-        ).astype(jnp.bfloat16)  # [N, TX]
-        cnt = jnp.einsum(
-            "yn,nx->yx", ry, cx, preferred_element_type=jnp.float32
+        ).astype(jnp.int8)  # [N, TX]
+        return jnp.einsum(
+            "yn,nx->yx", ry, cx, preferred_element_type=jnp.int32
         )
-        return cnt.astype(jnp.int32)
     chunk = cdiv_i(n, chunks)
     pad = chunks * chunk - n
 
@@ -194,12 +192,11 @@ def _rect_cover_counts(y0, y1, x0, x1, kept, tiles_y: int, tiles_x: int,
     x1r = padded(x1, 0)[:, :, None]
     ty3 = ty_i[None, :, None]
     tx3 = tx_i[None, None, :]
-    ry = ((y0r <= ty3) & (ty3 < y1r) & keptr).astype(jnp.bfloat16)
-    cx = ((x0r <= tx3) & (tx3 < x1r)).astype(jnp.bfloat16)
-    cnt = jnp.einsum(
-        "cyk,ckx->cyx", ry, cx, preferred_element_type=jnp.float32
+    ry = ((y0r <= ty3) & (ty3 < y1r) & keptr).astype(jnp.int8)
+    cx = ((x0r <= tx3) & (tx3 < x1r)).astype(jnp.int8)
+    return jnp.einsum(
+        "cyk,ckx->cyx", ry, cx, preferred_element_type=jnp.int32
     )
-    return cnt.astype(jnp.int32)
 
 
 def _occlusion_cull(tile_min, n_u, n_v, counts, cfg: RenderConfig):
