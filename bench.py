@@ -742,7 +742,7 @@ if __name__ == "__main__":
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
                 env=env,
-                timeout=float(os.environ.get("BENCH_TIMEOUT", "2700")),
+                timeout=float(os.environ.get("BENCH_TIMEOUT", "4200")),
             )
             sys.exit(r.returncode)
         except subprocess.TimeoutExpired:
